@@ -1,0 +1,28 @@
+"""gossipnet_tpu — a TPU-native learned-NMS framework.
+
+A from-scratch, TPU-first rebuild of the capabilities of hosang/gossipnet
+(GossipNet, "Learning non-maximum suppression", Hosang et al., CVPR 2017,
+arXiv:1705.02950). The reference is a TensorFlow-1.x research repo whose
+mount was empty during the survey (see SURVEY.md header); this framework is
+built from the behavioral spec in SURVEY.md §2 and the paper.
+
+Design (idiomatic JAX/XLA/Pallas — NOT a port):
+
+- Static shapes everywhere: detections padded to bucketed N, validity masks
+  instead of the reference's dynamic ``tf.where`` pair lists
+  (reference: nms_net/network.py, dynamic pair construction).
+- The O(N^2) pairwise-IoU / pair-feature / neighbor-max stage is a tiled
+  Pallas kernel with a streaming (flash-style) running max, so the N x N
+  pair tensor is never materialized in HBM (reference computed it densely
+  in-graph).
+- The reference's custom C++ CPU op for greedy det<->GT matching
+  (reference: matching_module/det_matching.cc) is a vectorized XLA
+  ``lax.scan`` over score order — fully jittable, batched, and
+  multi-threshold parallel.
+- Training is a jitted optax step with orbax checkpointing; batched sharded
+  inference runs under ``shard_map`` over a (data, detection) device mesh.
+"""
+
+__version__ = "0.1.0"
+
+from gossipnet_tpu.config import Config, load_config  # noqa: F401

@@ -1,0 +1,158 @@
+"""Configuration tree for gossipnet_tpu.
+
+The reference uses a py-faster-rcnn-style global ``cfg`` easydict with YAML
+deep-merge (reference: nms_net/config.py — ``cfg`` / ``cfg_from_file``).
+The rebuild replaces the mutable global with a frozen dataclass tree: every
+experiment knob the reference exposes (number of gossip blocks, feature
+dims, the 0.2 neighbor-IoU threshold, matching thresholds, optimizer/LR
+schedule, dataset selection) maps 1:1 onto a field here, so reference
+experiment YAMLs translate directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """GossipNet architecture knobs (reference: nms_net/network.py, Gnet)."""
+
+    num_blocks: int = 16          # K stacked gossip blocks (paper best: 16)
+    feature_dim: int = 128        # per-detection state width c_i
+    reduced_dim: int = 32         # reduced width r_i inside a block
+    pairwise_dim: int = 32        # pair MLP width
+    pair_hidden_layers: int = 2   # FCs applied to [r_i; r_j; g_ij]
+    expand_hidden_layers: int = 2  # FCs applied to pooled m_i before residual
+    neighbor_iou: float = 0.2     # pair set: IoU(b_i, b_j) >= 0.2, incl. self
+    num_classes: int = 1          # 1 = class-agnostic (COCO persons); 81 etc.
+    class_embed_dim: int = 32     # class embedding width (multi-class only)
+    score_rank_feature: bool = True  # include per-class score-rank feature
+    dtype: str = "float32"        # compute dtype for block matmuls
+
+
+@dataclass(frozen=True)
+class MatchingConfig:
+    """det<->GT matching for the training loss.
+
+    Reference: matching_module/det_matching.cc — greedy assignment in
+    descending predicted-score order, recomputed every step. The rebuild
+    keeps the same algorithm as a vectorized lax.scan (ops/matching.py).
+    """
+
+    thresholds: Sequence[float] = (0.5,)  # single or COCO 0.5:0.95 sweep
+    class_aware: bool = False             # multi-class: match within class
+    crowd_as_ignore: bool = True          # crowd GT -> zero-weight, not neg
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Weighted logistic loss (paper §4)."""
+
+    pos_weight_mode: str = "balanced"  # 'balanced' | 'fixed' | 'none'
+    fixed_pos_weight: float = 1.0
+    normalize: str = "valid"           # divide by: 'valid' count | 'batch'
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    optimizer: str = "adam"
+    learning_rate: float = 1e-4
+    lr_schedule: str = "constant"      # 'constant' | 'step' | 'cosine'
+    lr_decay_steps: Sequence[int] = ()
+    lr_decay_rate: float = 0.1
+    warmup_steps: int = 0
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 0.0        # 0 disables
+    max_steps: int = 200_000
+    batch_size: int = 8                # images per step (ref: 1 image/step)
+    snapshot_every: int = 10_000
+    eval_every: int = 20_000
+    log_every: int = 100
+    seed: int = 0
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 3
+    remat_blocks: bool = False          # jax.checkpoint each gossip block
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"       # 'synthetic' | 'coco'
+    ann_file: str = ""               # COCO annotation json
+    det_file: str = ""               # precomputed detections (npz/json/pkl)
+    person_only: bool = True         # persons subset vs all 80 classes
+    max_detections: int = 1024       # cap (score-ranked) per image, pad to N
+    bucket_sizes: Sequence[int] = (256, 512, 1024, 2048, 4096)
+    shuffle: bool = True
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    data_axis: int = 0          # mesh size along 'data' (0 = all devices)
+    det_axis: int = 1           # mesh size along 'det' (pair-row sharding)
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    matching: MatchingConfig = field(default_factory=MatchingConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+
+def _merge_dataclass(dc: Any, overrides: Mapping[str, Any]) -> Any:
+    """Deep-merge a mapping of overrides into a frozen dataclass tree.
+
+    Mirrors the reference's ``cfg_from_file`` deep merge semantics
+    (reference: nms_net/config.py) but type-checks against the schema:
+    unknown keys raise instead of silently extending the config.
+    """
+    if not dataclasses.is_dataclass(dc):
+        raise TypeError(f"not a dataclass: {dc!r}")
+    valid = {f.name: f for f in dataclasses.fields(dc)}
+    updates = {}
+    for key, value in overrides.items():
+        if key not in valid:
+            raise KeyError(
+                f"unknown config key {key!r} for {type(dc).__name__}; "
+                f"valid keys: {sorted(valid)}"
+            )
+        current = getattr(dc, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, Mapping):
+            updates[key] = _merge_dataclass(current, value)
+        else:
+            if isinstance(current, tuple) and isinstance(value, list):
+                value = tuple(value)
+            updates[key] = value
+    return dataclasses.replace(dc, **updates)
+
+
+def load_config(path: str | None = None,
+                overrides: Mapping[str, Any] | None = None) -> Config:
+    """Build a Config from defaults + optional YAML file + optional dict.
+
+    YAML structure mirrors the dataclass tree::
+
+        model:
+          num_blocks: 16
+        train:
+          learning_rate: 1.0e-4
+    """
+    cfg = Config()
+    if path:
+        import yaml  # deferred: pyyaml is present in the image
+
+        with open(path) as f:
+            loaded = yaml.safe_load(f) or {}
+        cfg = _merge_dataclass(cfg, loaded)
+    if overrides:
+        cfg = _merge_dataclass(cfg, overrides)
+    return cfg
+
+
+def config_to_dict(cfg: Config) -> dict:
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,168 @@
+"""Greedy det<->GT matching as a vectorized XLA op.
+
+The reference implements this as a custom C++ TensorFlow CPU kernel
+(reference: matching_module/det_matching.cc, loaded via
+nms_net/matching_module.py) because the greedy pass is sequential over the
+detections sorted by their *current predicted* scores, and TF-1.x had no
+good in-graph way to express it. That design forces a device->host round
+trip every training step.
+
+The TPU-native rebuild keeps the exact algorithm — sort detections by
+descending predicted score, greedily assign each to the best still-unmatched
+ground-truth box with IoU >= threshold, mirroring COCO evaluation matching
+(paper §4) — but expresses it as ``lax.sort`` + ``lax.scan`` over score
+order with a per-threshold GT-taken mask. It is:
+
+- fully jittable (lives inside the loss; differentiation is blocked —
+  labels are targets, like the reference op which defines no gradient),
+- batched with ``vmap`` (the scan body becomes [B, T, G] elementwise work),
+- parallel across the T matching thresholds (COCO 0.5:0.95 sweep).
+
+Crowd handling follows pycocotools: a detection that fails to match a real
+GT but overlaps an ``iscrowd`` GT with IoF >= threshold is *ignored*
+(zero loss weight), not counted negative.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from gossipnet_tpu.ops.geometry import pairwise_iof, pairwise_iou
+
+NEG_INF = -1e30
+
+
+class MatchResult(NamedTuple):
+    """Per-threshold matching outcome, all ``[T, N]`` (or batched ``[B, T, N]``).
+
+    labels:     1.0 where the detection matched a (non-crowd) GT, else 0.0.
+    ignore:     True where the detection should get zero loss weight
+                (invalid padding, or crowd-overlapped unmatched detection).
+    matched_gt: index of the matched GT, -1 if unmatched.
+    """
+
+    labels: Array
+    ignore: Array
+    matched_gt: Array
+
+
+def greedy_match(
+    boxes: Array,
+    scores: Array,
+    valid: Array,
+    gt_boxes: Array,
+    gt_valid: Array,
+    gt_crowd: Array,
+    thresholds: Array,
+    det_classes: Array | None = None,
+    gt_classes: Array | None = None,
+) -> MatchResult:
+    """Greedy score-ordered matching of N detections to G ground truths.
+
+    Args:
+      boxes:       [N, 4] xyxy detection boxes (padded rows arbitrary).
+      scores:      [N] current predicted scores — matching is recomputed
+                   every step against the *evolving* scores, exactly like
+                   the reference op (matching_module/det_matching.cc).
+      valid:       [N] bool, False for padding.
+      gt_boxes:    [G, 4] xyxy ground-truth boxes.
+      gt_valid:    [G] bool, False for padding.
+      gt_crowd:    [G] bool, True for COCO iscrowd regions.
+      thresholds:  [T] IoU thresholds (e.g. [0.5] or 0.5:0.95).
+      det_classes: optional [N] int class ids — when given with gt_classes,
+                   matching is class-aware (multi-class GossipNet).
+      gt_classes:  optional [G] int class ids.
+
+    Returns:
+      MatchResult with arrays of shape [T, N].
+    """
+    n = boxes.shape[0]
+    g = gt_boxes.shape[0]
+    thresholds = jnp.asarray(thresholds, jnp.float32)
+    t = thresholds.shape[0]
+
+    iou = pairwise_iou(boxes, gt_boxes)          # [N, G]
+    iof = pairwise_iof(boxes, gt_boxes)          # [N, G] for crowd regions
+
+    real_gt = gt_valid & ~gt_crowd               # [G]
+    crowd_gt = gt_valid & gt_crowd               # [G]
+
+    if det_classes is not None and gt_classes is not None:
+        same_class = det_classes[:, None] == gt_classes[None, :]  # [N, G]
+        iou = jnp.where(same_class, iou, 0.0)
+        iof = jnp.where(same_class, iof, 0.0)
+
+    # Crowd overlap uses IoF (how much of the detection is inside the crowd
+    # region), pycocotools iscrowd semantics.
+    crowd_overlap = jnp.where(crowd_gt[None, :], iof, 0.0)  # [N, G]
+    max_crowd = jnp.max(crowd_overlap, axis=1, initial=0.0)  # [N]
+
+    # Sort detections by descending score; invalid rows sink to the end.
+    sort_key = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-sort_key)               # [N], stable
+
+    iou_sorted = iou[order]                      # [N, G]
+    valid_sorted = valid[order]                  # [N]
+
+    def step(taken, inputs):
+        # taken: [T, G] bool. One detection (in score order) per step.
+        iou_i, valid_i = inputs                  # [G], scalar
+        # Eligible GTs per threshold: real, unmatched, IoU >= t.
+        elig = (
+            (iou_i[None, :] >= thresholds[:, None])
+            & real_gt[None, :]
+            & ~taken
+            & valid_i
+        )                                        # [T, G]
+        cand = jnp.where(elig, iou_i[None, :], NEG_INF)
+        best = jnp.argmax(cand, axis=1)          # [T]
+        matched = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0] > NEG_INF
+        taken = taken | (jax.nn.one_hot(best, g, dtype=bool) & matched[:, None])
+        return taken, (matched, jnp.where(matched, best, -1))
+
+    taken0 = jnp.zeros((t, g), dtype=bool)
+    _, (matched_sorted, best_sorted) = jax.lax.scan(
+        step, taken0, (iou_sorted, valid_sorted)
+    )
+    # matched_sorted: [N, T] bool; best_sorted: [N, T] int — in score order.
+    # Scatter back to original detection order.
+    matched = jnp.zeros((n, t), bool).at[order].set(matched_sorted).T  # [T, N]
+    matched_gt = jnp.full((n, t), -1, jnp.int32).at[order].set(
+        best_sorted.astype(jnp.int32)
+    ).T
+
+    labels = matched.astype(jnp.float32)
+    # Ignore: padding always; unmatched detections covered by a crowd region.
+    crowd_ignore = (~matched) & (max_crowd[None, :] >= thresholds[:, None])
+    ignore = (~valid)[None, :] | crowd_ignore
+    return MatchResult(labels=labels, ignore=ignore, matched_gt=matched_gt)
+
+
+def greedy_match_batch(
+    boxes: Array,
+    scores: Array,
+    valid: Array,
+    gt_boxes: Array,
+    gt_valid: Array,
+    gt_crowd: Array,
+    thresholds: Array,
+    det_classes: Array | None = None,
+    gt_classes: Array | None = None,
+) -> MatchResult:
+    """vmap of :func:`greedy_match` over a leading batch axis -> [B, T, N]."""
+    if det_classes is None:
+        fn = lambda b, s, v, gb, gv, gc: greedy_match(  # noqa: E731
+            b, s, v, gb, gv, gc, thresholds
+        )
+        return jax.vmap(fn)(boxes, scores, valid, gt_boxes, gt_valid, gt_crowd)
+    fn = lambda b, s, v, gb, gv, gc, dc, gcl: greedy_match(  # noqa: E731
+        b, s, v, gb, gv, gc, thresholds, dc, gcl
+    )
+    return jax.vmap(fn)(
+        boxes, scores, valid, gt_boxes, gt_valid, gt_crowd,
+        det_classes, gt_classes,
+    )

@@ -1,0 +1,45 @@
+"""Test harness config: run everything on a simulated 8-device CPU mesh.
+
+The standard JAX way to test multi-device sharding without a cluster
+(SURVEY.md §4.5) is ``JAX_PLATFORMS=cpu`` +
+``--xla_force_host_platform_device_count=8``. In this image, a
+sitecustomize hook registers a remote-TPU PJRT plugin at interpreter
+startup and force-sets ``jax_platforms`` — so env vars alone are not
+enough: we must also re-point jax at CPU and drop the plugin's backend
+factory before the first backend initialization, otherwise every test run
+dials the remote TPU and stalls for minutes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:  # drop any remote-TPU plugin factory so it is never initialized
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def random_boxes(rng, n, scale=100.0, min_size=2.0, max_size=40.0):
+    """Random well-formed xyxy boxes in a [0, scale] canvas."""
+    xy = rng.uniform(0, scale, size=(n, 2))
+    wh = rng.uniform(min_size, max_size, size=(n, 2))
+    return np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
