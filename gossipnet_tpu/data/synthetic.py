@@ -1,0 +1,84 @@
+"""Synthetic detection problems for tests, demos, and calibration.
+
+The reference trains only on real FRCN detection dumps; it has no
+synthetic path. SURVEY.md §4.4 prescribes one for the rebuild: clusters of
+jittered boxes around synthetic GT give a deterministic, fast
+"learns-at-all" signal — a trained GossipNet must beat the raw scores' AP
+within a few hundred steps because raw scores are generated with noise
+that is uncorrelated with localization quality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gossipnet_tpu.data.roidb import ImageRecord, Roidb
+
+
+def synthetic_record(
+    rng: np.random.Generator,
+    image_id: int,
+    num_gt: int = 8,
+    dets_per_gt: int = 6,
+    num_clutter: int = 8,
+    canvas: float = 640.0,
+    num_classes: int = 1,
+    crowd_prob: float = 0.0,
+) -> ImageRecord:
+    """One synthetic image.
+
+    GT boxes are random; each spawns ``dets_per_gt`` jittered detections
+    whose *scores are noisy and only weakly correlated with IoU*, plus
+    clutter detections in empty space with random scores. Learned
+    rescoring can therefore beat raw-score ranking by a wide margin.
+    """
+    gt_xy = rng.uniform(0.1 * canvas, 0.7 * canvas, size=(num_gt, 2))
+    gt_wh = rng.uniform(0.05 * canvas, 0.25 * canvas, size=(num_gt, 2))
+    gt_boxes = np.concatenate([gt_xy, gt_xy + gt_wh], axis=1).astype(np.float32)
+    gt_classes = rng.integers(0, num_classes, size=num_gt).astype(np.int32)
+    gt_crowd = (rng.uniform(size=num_gt) < crowd_prob)
+
+    det_boxes, det_scores, det_classes = [], [], []
+    for g in range(num_gt):
+        for _ in range(dets_per_gt):
+            scale = rng.uniform(0.02, 0.25)  # jitter magnitude
+            jit = rng.normal(0, scale * gt_wh[g].mean(), size=4)
+            box = gt_boxes[g] + jit
+            box[2] = max(box[2], box[0] + 2.0)
+            box[3] = max(box[3], box[1] + 2.0)
+            det_boxes.append(box)
+            # Score: base + noise, deliberately NOT ranking by IoU.
+            det_scores.append(rng.uniform(0.3, 1.0))
+            det_classes.append(gt_classes[g])
+    for _ in range(num_clutter):
+        xy = rng.uniform(0, 0.9 * canvas, size=2)
+        wh = rng.uniform(0.03 * canvas, 0.2 * canvas, size=2)
+        det_boxes.append(np.concatenate([xy, xy + wh]))
+        det_scores.append(rng.uniform(0.3, 1.0))
+        det_classes.append(int(rng.integers(0, num_classes)))
+
+    return ImageRecord(
+        image_id=image_id,
+        det_boxes=np.asarray(det_boxes, np.float32),
+        det_scores=np.asarray(det_scores, np.float32),
+        det_classes=np.asarray(det_classes, np.int32),
+        gt_boxes=gt_boxes,
+        gt_classes=gt_classes,
+        gt_crowd=np.asarray(gt_crowd, bool),
+    )
+
+
+def synthetic_roidb(
+    num_images: int = 64,
+    seed: int = 0,
+    num_classes: int = 1,
+    **kwargs,
+) -> Roidb:
+    rng = np.random.default_rng(seed)
+    records = [
+        synthetic_record(rng, image_id=i, num_classes=num_classes, **kwargs)
+        for i in range(num_images)
+    ]
+    names = [f"class_{i}" for i in range(num_classes)]
+    return Roidb(records=records, class_names=names,
+                 cat_ids=list(range(1, num_classes + 1)))

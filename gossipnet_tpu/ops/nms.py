@@ -1,0 +1,73 @@
+"""Classic greedy NMS — the baseline GossipNet replaces.
+
+The reference's whole premise is replacing this heuristic with a learned
+rescorer (paper §1); GreedyNMS remains the baseline every eval compares
+against (paper §5 tables). Provided in two forms:
+
+- ``greedy_nms_np``: host numpy, used by evaluation baselines.
+- ``greedy_nms``: jittable XLA version over padded arrays (suppression as
+  a score mask, lax.fori_loop over the score-sorted prefix), usable
+  on-device for serving pipelines that want a heuristic fallback path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from gossipnet_tpu.ops.geometry import pairwise_iou
+
+
+def greedy_nms_np(
+    boxes: np.ndarray, scores: np.ndarray, iou_threshold: float = 0.5
+) -> np.ndarray:
+    """Indices of kept boxes, descending score order. O(N^2) host loop."""
+    order = np.argsort(-scores, kind="stable")
+    boxes = boxes.astype(np.float64)
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    keep = []
+    suppressed = np.zeros(len(scores), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1[order])
+        yy1 = np.maximum(y1[i], y1[order])
+        xx2 = np.minimum(x2[i], x2[order])
+        yy2 = np.minimum(y2[i], y2[order])
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        union = areas[i] + areas[order] - inter
+        iou = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+        suppressed[order[iou > iou_threshold]] = True
+        suppressed[i] = False
+    return np.asarray(keep, np.int64)
+
+
+def greedy_nms(
+    boxes: Array,
+    scores: Array,
+    valid: Array,
+    iou_threshold: float = 0.5,
+) -> Array:
+    """Jittable greedy NMS: returns a keep mask [N] over padded inputs.
+
+    Static-shape formulation: scan detections in descending-score order;
+    each kept detection suppresses later ones with IoU > threshold.
+    """
+    n = scores.shape[0]
+    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+    iou = pairwise_iou(boxes[order], boxes[order])
+    valid_sorted = valid[order]
+
+    def body(i, keep):
+        keep_i = valid_sorted[i] & keep[i]
+        # suppress all j > i with IoU > thr
+        later = jnp.arange(n) > i
+        supp = keep_i & later & (iou[i] > iou_threshold)
+        return jnp.where(supp, False, keep)
+
+    keep_sorted = jax.lax.fori_loop(0, n, body, valid_sorted)
+    return jnp.zeros(n, bool).at[order].set(keep_sorted)

@@ -1,0 +1,265 @@
+"""Training: jitted optax step, matching-driven loss, checkpoint, eval.
+
+Reference training loop (SURVEY.md §3.1, reference: train.py): per-image
+``sess.run`` with Adam, periodic Saver snapshots and mAP evals. TPU-first
+redesign: batched static-shape steps (one jit specialization per detection
+bucket), the det<->GT matching runs *inside* the jitted step on device
+(the reference round-trips to a C++ CPU op every step), deterministic
+resumable checkpoints, JSONL metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from gossipnet_tpu.config import Config
+from gossipnet_tpu.data.bucketing import Batch, BatchIterator
+from gossipnet_tpu.data.roidb import Roidb
+from gossipnet_tpu.losses import weighted_logistic_loss
+from gossipnet_tpu.models.gossipnet import GossipNet
+from gossipnet_tpu.ops.matching import greedy_match_batch
+from gossipnet_tpu.utils.checkpoint import CheckpointManager
+from gossipnet_tpu.utils.metrics import MetricsLogger, StepTimer
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState + PRNG key for any stochastic model extensions."""
+
+    rng: jax.Array = None
+
+
+def make_lr_schedule(cfg: Config) -> optax.Schedule:
+    t = cfg.train
+    if t.lr_schedule == "constant":
+        sched = optax.constant_schedule(t.learning_rate)
+    elif t.lr_schedule == "step":
+        sched = optax.piecewise_constant_schedule(
+            t.learning_rate,
+            {int(s): t.lr_decay_rate for s in t.lr_decay_steps},
+        )
+    elif t.lr_schedule == "cosine":
+        sched = optax.cosine_decay_schedule(t.learning_rate, t.max_steps)
+    else:
+        raise ValueError(f"unknown lr_schedule {t.lr_schedule!r}")
+    if t.warmup_steps > 0:
+        warm = optax.linear_schedule(0.0, t.learning_rate, t.warmup_steps)
+        sched = optax.join_schedules([warm, sched], [t.warmup_steps])
+    return sched
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    t = cfg.train
+    sched = make_lr_schedule(cfg)
+    if t.optimizer == "adam":
+        opt = optax.adam(sched)
+    elif t.optimizer == "adamw":
+        opt = optax.adamw(sched, weight_decay=t.weight_decay)
+    elif t.optimizer == "sgd":
+        opt = optax.sgd(sched, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {t.optimizer!r}")
+    chain = []
+    if t.grad_clip_norm > 0:
+        chain.append(optax.clip_by_global_norm(t.grad_clip_norm))
+    chain.append(opt)
+    return optax.chain(*chain)
+
+
+def build_model(cfg: Config, pool_impl: str = "dense") -> GossipNet:
+    return GossipNet(cfg.model, pool_impl=pool_impl)
+
+
+def create_train_state(
+    cfg: Config, model: GossipNet, sample: Batch, seed: int | None = None
+) -> TrainState:
+    seed = cfg.train.seed if seed is None else seed
+    rng, init_rng = jax.random.split(jax.random.key(seed))
+    multiclass = cfg.model.num_classes > 1
+    params = model.init(
+        init_rng,
+        jnp.asarray(sample.boxes), jnp.asarray(sample.scores),
+        jnp.asarray(sample.valid),
+        jnp.asarray(sample.classes) if multiclass else None,
+    )["params"]
+    return TrainState.create(
+        apply_fn=model.apply, params=params, tx=make_optimizer(cfg), rng=rng
+    )
+
+
+def loss_and_metrics(
+    params, apply_fn, batch_arrays: dict, cfg: Config
+) -> tuple[jax.Array, dict]:
+    """Forward + matching + weighted logistic loss, all on device.
+
+    Matching consumes the *current* logits (stop-gradient: labels are
+    targets, the reference op likewise defines no gradient).
+    """
+    multiclass = cfg.model.num_classes > 1
+    logits = apply_fn(
+        {"params": params},
+        batch_arrays["boxes"], batch_arrays["scores"],
+        batch_arrays["valid"],
+        batch_arrays["classes"] if multiclass else None,
+    )
+    match = greedy_match_batch(
+        batch_arrays["boxes"],
+        jax.lax.stop_gradient(logits),
+        batch_arrays["valid"],
+        batch_arrays["gt_boxes"],
+        batch_arrays["gt_valid"],
+        batch_arrays["gt_crowd"],
+        jnp.asarray(cfg.matching.thresholds, jnp.float32),
+        det_classes=batch_arrays["classes"] if cfg.matching.class_aware else None,
+        gt_classes=batch_arrays["gt_classes"] if cfg.matching.class_aware else None,
+    )
+    return weighted_logistic_loss(logits, match, cfg.loss)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def train_step(state: TrainState, batch_arrays: dict, cfg: Config):
+    """One optimizer step. cfg is hashable (frozen dataclass) -> static."""
+    def loss_fn(params):
+        return loss_and_metrics(params, state.apply_fn, batch_arrays, cfg)
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return state.apply_gradients(grads=grads), metrics
+
+
+def batch_to_device(batch: Batch) -> dict:
+    return {
+        "boxes": jnp.asarray(batch.boxes),
+        "scores": jnp.asarray(batch.scores),
+        "valid": jnp.asarray(batch.valid),
+        "classes": jnp.asarray(batch.classes),
+        "gt_boxes": jnp.asarray(batch.gt_boxes),
+        "gt_classes": jnp.asarray(batch.gt_classes),
+        "gt_valid": jnp.asarray(batch.gt_valid),
+        "gt_crowd": jnp.asarray(batch.gt_crowd),
+    }
+
+
+def train(
+    cfg: Config,
+    roidb: Roidb,
+    val_roidb: Roidb | None = None,
+    pool_impl: str = "dense",
+    metrics_path: str | None = None,
+    max_steps: int | None = None,
+    eval_fn=None,
+) -> TrainState:
+    """Full training loop with checkpoint/resume and periodic eval.
+
+    ``eval_fn(state) -> dict`` overrides the default COCO eval (tests use
+    this). Resumes automatically from ``cfg.train.checkpoint_dir``.
+    """
+    t = cfg.train
+    max_steps = max_steps if max_steps is not None else t.max_steps
+    model = build_model(cfg, pool_impl)
+    it = BatchIterator(
+        roidb, t.batch_size, cfg.data.bucket_sizes,
+        seed=t.seed, shuffle=cfg.data.shuffle,
+    )
+    sample = next(it)
+    it.set_state({"epoch": 0, "cursor": 0, "seed": t.seed})  # rewind
+    state = create_train_state(cfg, model, sample)
+
+    ckpt = CheckpointManager(t.checkpoint_dir, max_to_keep=t.keep_checkpoints)
+    if ckpt.latest_step() is not None:
+        state, host_state = ckpt.restore(state)
+        if "iterator" in host_state:
+            it.set_state(host_state["iterator"])
+        print(f"resumed from step {int(state.step)}", flush=True)
+
+    logger = MetricsLogger(metrics_path)
+    timer = StepTimer()
+
+    def default_eval(st):
+        if val_roidb is None:
+            return {}
+        from gossipnet_tpu.evaluate import evaluate_model
+
+        return evaluate_model(
+            st.params, model, val_roidb,
+            batch_size=t.batch_size, bucket_sizes=cfg.data.bucket_sizes,
+        )
+
+    eval_fn = eval_fn or default_eval
+
+    while int(state.step) < max_steps:
+        batch = next(it)
+        arrays = batch_to_device(batch)
+        state, metrics = train_step(state, arrays, cfg)
+        step = int(state.step)
+        timer.tick(int(np.sum(batch.valid)))
+
+        if step % t.log_every == 0 or step == max_steps:
+            logger.log(
+                step,
+                steps_per_sec=timer.steps_per_sec,
+                dets_per_sec=timer.dets_per_sec,
+                **{k: float(v) for k, v in metrics.items()},
+            )
+        if t.snapshot_every and step % t.snapshot_every == 0:
+            ckpt.save(step, state, {"iterator": it.get_state()})
+        if t.eval_every and step % t.eval_every == 0:
+            stats = eval_fn(state)
+            if stats:
+                logger.log(step, **{f"val_{k}": v for k, v in stats.items()})
+                if "AP" in stats:
+                    ckpt.maybe_save_best(stats["AP"], state)
+
+    ckpt.save(int(state.step), state, {"iterator": it.get_state()})
+    ckpt.close()
+    return state
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI: python -m gossipnet_tpu.train -c experiments/foo.yaml"""
+    import argparse
+
+    from gossipnet_tpu.config import load_config
+
+    p = argparse.ArgumentParser(description="Train GossipNet (TPU-native)")
+    p.add_argument("-c", "--config", default=None, help="YAML config")
+    p.add_argument("--metrics", default="train_metrics.jsonl")
+    p.add_argument("--pool-impl", default="dense", choices=["dense", "pallas"])
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.config)
+    if cfg.data.dataset == "synthetic":
+        from gossipnet_tpu.data.synthetic import synthetic_roidb
+
+        roidb = synthetic_roidb(
+            num_images=256, seed=cfg.train.seed,
+            num_classes=cfg.model.num_classes,
+        )
+        val = synthetic_roidb(
+            num_images=32, seed=cfg.train.seed + 1,
+            num_classes=cfg.model.num_classes,
+        )
+    else:
+        from gossipnet_tpu.data.roidb import build_roidb
+
+        roidb = build_roidb(
+            cfg.data.ann_file, cfg.data.det_file,
+            person_only=cfg.data.person_only,
+            max_dets=cfg.data.max_detections,
+        )
+        val = None
+    train(cfg, roidb, val_roidb=val, pool_impl=args.pool_impl,
+          metrics_path=args.metrics)
+
+
+if __name__ == "__main__":
+    main()
