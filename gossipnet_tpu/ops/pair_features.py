@@ -98,25 +98,22 @@ def pair_iou(ci: DetColumns, cj: DetColumns) -> Array:
     return inter / jnp.maximum(union, _EPS)
 
 
-def pair_features(
+def pair_feature_list(
     ci: DetColumns,
     cj: DetColumns,
     iou: Array | None = None,
     class_match: Array | None = None,
-) -> Array:
-    """Pair feature tensor, stacked on the last axis.
+) -> list[Array]:
+    """Pair features as a list of broadcast ``[..., NI, NJ]`` arrays.
 
-    Args:
-      ci: columns broadcast as rows (detection i).
-      cj: columns broadcast as cols (detection j).
-      iou: optional precomputed IoU (saves recompute when the caller
-           already needs it for the neighbor mask).
-      class_match: optional {0,1} class-equality feature (multi-class).
+    This unstacked form is what the Pallas kernel consumes (each feature
+    plane stays in a hardware-friendly [TI, TJ] layout instead of a
+    lane-padded [TI, TJ, G] stack); :func:`pair_features` is the stacked
+    wrapper for the dense path. One shared definition keeps the two model
+    paths bit-identical.
 
-    Returns:
-      ``[..., G]`` with G = 8 (or 9 with class_match), ordered:
-      iou, dx/w_i, dy/h_i, log(w_j/w_i), log(h_j/h_i),
-      log-aspect diff, s_i, s_j, [class_match].
+    Order: iou, dx/w_i, dy/h_i, log(w_j/w_i), log(h_j/h_i),
+    log-aspect diff, s_i, s_j, [class_match].
     """
     if iou is None:
         iou = pair_iou(ci, cj)
@@ -132,7 +129,22 @@ def pair_features(
     ]
     if class_match is not None:
         feats.append(jnp.broadcast_to(class_match, iou.shape).astype(iou.dtype))
-    return jnp.stack(feats, axis=-1)
+    return feats
+
+
+def pair_features(
+    ci: DetColumns,
+    cj: DetColumns,
+    iou: Array | None = None,
+    class_match: Array | None = None,
+) -> Array:
+    """Pair feature tensor ``[..., G]`` (stacked :func:`pair_feature_list`).
+
+    G = 8 (or 9 with class_match).
+    """
+    return jnp.stack(
+        pair_feature_list(ci, cj, iou=iou, class_match=class_match), axis=-1
+    )
 
 
 def _rows(cols: DetColumns) -> DetColumns:

@@ -1,0 +1,487 @@
+"""Tiled Pallas TPU kernel for the O(N^2) gossip pair stage.
+
+This is the performance centerpiece of the rebuild (north-star
+BASELINE.json:5): the reference materializes the full pair tensor in-graph
+with dynamic shapes (reference: nms_net/network.py pair machinery); here
+the [N, N, P] pair activations NEVER exist in HBM. The kernel streams
+TI x TJ tiles through VMEM, recomputing geometry-derived pair features on
+the fly from per-detection columns, and keeps a flash-attention-style
+running elementwise max per detection row:
+
+  for each row-tile i:                  (grid dim, j innermost)
+    m[i] = -inf
+    for each col-tile j:
+      g_k    = pair_features(cols[i], cols[j])      # VPU, recomputed
+      u1     = a[i] (+) b[j] (+) sum_k wg[k] * g_k  # pair FC1, split form
+      h2     = relu(w2^T relu(u1) + b2)             # pair FC2 on MXU
+      m[i]   = max(m[i], max_j masked(h2))          # streaming max
+    m[i] = where(m[i] == -inf, 0)
+
+Layout choice: all pair-stage tensors are [P, TI, TJ] with the detection
+axes in (sublane, lane) positions, so a P=32 hidden width costs no lane
+padding; per-detection tensors are carried transposed as [B, P, N]
+(lane = detection axis, always a 128-multiple after bucket padding).
+
+The backward pass is a custom VJP (flash style): nothing from the forward
+is saved except the output m; two mirror kernels recompute tiles and
+route gradients through the max winners — one accumulates row gradients
+(d_a) + weight gradients over the j axis, the other accumulates column
+gradients (d_b) over the i axis with a transposed grid, because a Pallas
+output block may only be revisited on consecutive grid steps.
+
+Feature math is imported from ops/pair_features.py — the same definition
+the dense path uses — so the two paths are parity-testable to float
+tolerance (tests/test_pallas_kernel.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gossipnet_tpu.ops import pair_features as pf
+
+NEG_INF = -1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class PoolSpec:
+    """Static kernel configuration (hashable; nondiff custom_vjp arg)."""
+
+    neighbor_iou: float
+    num_features: int      # 8 class-agnostic, 9 with class-match
+    p: int                 # pairwise hidden width
+    ti: int                # row tile
+    tj: int                # col tile
+    interpret: bool        # CPU interpreter mode (tests)
+
+
+def _tile_columns(ref_slice: Array, axis: int) -> pf.DetColumns:
+    """Build DetColumns whose fields broadcast as rows/cols of a tile.
+
+    axis=0: fields are [TI, 1] (from a [TI, C] slice of colsT).
+    axis=1: fields are [1, TJ] (from a [C, TJ] slice of cols).
+    """
+    if axis == 0:
+        return pf.DetColumns(
+            *[ref_slice[:, k : k + 1] for k in range(pf.NUM_COLUMNS)]
+        )
+    return pf.DetColumns(
+        *[ref_slice[k : k + 1, :] for k in range(pf.NUM_COLUMNS)]
+    )
+
+
+def _tile_forward(
+    spec: PoolSpec, colsT_t, cols_t, aT_t, bT_t, wgT, w2T, b2c
+):
+    """Shared tile computation -> (feats list, neighbor mask, h1_3d, h2_3d).
+
+    colsT_t: [TI, C_total]; cols_t: [C_total, TJ]; aT_t: [P, TI];
+    bT_t: [P, TJ]; wgT: [P, G]; w2T: [P, P] (= w2 transposed); b2c: [P, 1].
+    """
+    ti, tj, p = spec.ti, spec.tj, spec.p
+    ci = _tile_columns(colsT_t, 0)
+    cj = _tile_columns(cols_t, 1)
+    class_match = None
+    if spec.num_features > pf.NUM_PAIR_FEATURES:
+        cls_i = colsT_t[:, pf.NUM_COLUMNS : pf.NUM_COLUMNS + 1]
+        cls_j = cols_t[pf.NUM_COLUMNS : pf.NUM_COLUMNS + 1, :]
+        class_match = (cls_i == cls_j).astype(jnp.float32)
+    iou = pf.pair_iou(ci, cj)
+    feats = pf.pair_feature_list(ci, cj, iou=iou, class_match=class_match)
+
+    u1 = aT_t[:, :, None] + bT_t[:, None, :]            # [P, TI, TJ]
+    for k, g in enumerate(feats):
+        u1 = u1 + wgT[:, k : k + 1][:, :, None] * g[None, :, :]
+    h1 = jnp.maximum(u1, 0.0)
+
+    h1_2d = h1.reshape(p, ti * tj)
+    pre2 = (
+        jax.lax.dot_general(
+            w2T, h1_2d,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b2c
+    )
+    h2 = jnp.maximum(pre2, 0.0).reshape(p, ti, tj)
+
+    neighbor = (
+        (iou >= spec.neighbor_iou)
+        & (ci.valid > 0.0)
+        & (cj.valid > 0.0)
+    )                                                   # [TI, TJ]
+    return feats, neighbor, h1, h2
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref, w2T_ref,
+                b2_ref, out_ref, *, spec: PoolSpec):
+    j = pl.program_id(2)
+    _, neighbor, _, h2 = _tile_forward(
+        spec, colsT_ref[0], cols_ref[0], aT_ref[0], bT_ref[0],
+        wgT_ref[:], w2T_ref[:], b2_ref[:],
+    )
+    masked = jnp.where(neighbor[None, :, :], h2, NEG_INF)
+    tile_max = jnp.max(masked, axis=2)                  # [P, TI]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0] = tile_max
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[0] = jnp.maximum(out_ref[0], tile_max)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        out_ref[0] = jnp.where(out_ref[0] <= NEG_INF / 2, 0.0, out_ref[0])
+
+
+def _forward(spec: PoolSpec, colsT, cols, aT, bT, wgT, w2T, b2c) -> Array:
+    b, n = colsT.shape[0], colsT.shape[1]
+    c_total = colsT.shape[2]
+    p, ti, tj = spec.p, spec.ti, spec.tj
+    ni, nj = n // ti, n // tj
+    grid = (b, ni, nj)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, spec=spec),
+        out_shape=jax.ShapeDtypeStruct((b, p, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ti, c_total), lambda b_, i, j: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_total, tj), lambda b_, i, j: (b_, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, ti), lambda b_, i, j: (b_, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, tj), lambda b_, i, j: (b_, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, spec.num_features), lambda b_, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, p), lambda b_, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, 1), lambda b_, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p, ti), lambda b_, i, j: (b_, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=spec.interpret,
+        cost_estimate=pl.CostEstimate(
+            # per pair: FC2 matmul (2*P*P) + ~ (G+4)*P VPU work
+            flops=b * n * n * (2 * p * p + (spec.num_features + 4) * p),
+            bytes_accessed=b * n * (c_total * 2 + 3 * p) * 4,
+            transcendentals=0,
+        ),
+    )(colsT, cols, aT, bT, wgT, w2T, b2c)
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_row_kernel(colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref, w2T_ref,
+                    b2_ref, w2_ref, m_ref, dm_ref,
+                    da_ref, dwg_ref, dw2_ref, db2_ref, *, spec: PoolSpec):
+    """Row-gradient pass: grid (B, I, J), j innermost.
+
+    Accumulates d_aT over j (block constant in j) and the weight grads
+    over the whole grid (block constant everywhere).
+    """
+    b_idx, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    p, ti, tj = spec.p, spec.ti, spec.tj
+    feats, neighbor, h1, h2 = _tile_forward(
+        spec, colsT_ref[0], cols_ref[0], aT_ref[0], bT_ref[0],
+        wgT_ref[:], w2T_ref[:], b2_ref[:],
+    )
+    m_t = m_ref[0]                                       # [P, TI]
+    dm_t = dm_ref[0]                                     # [P, TI]
+    win = neighbor[None, :, :] & (h2 == m_t[:, :, None])
+    dh2 = jnp.where(win, dm_t[:, :, None], 0.0)
+    dpre2 = jnp.where(h2 > 0.0, dh2, 0.0).reshape(p, ti * tj)
+    h1_2d = h1.reshape(p, ti * tj)
+
+    db2_tile = jnp.sum(dpre2, axis=1, keepdims=True)     # [P, 1]
+    # dw2[p_in, q] = sum_m h1[p_in, m] dpre2[q, m]  (K = TI*TJ streaming)
+    dw2_tile = jax.lax.dot_general(
+        h1_2d, dpre2,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # [P, P]
+    # dh1 = w2 @ dpre2
+    dh1 = jax.lax.dot_general(
+        w2_ref[:], dpre2,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dpre1 = jnp.where(h1_2d > 0.0, dh1, 0.0)             # [P, M]
+    dpre1_3d = dpre1.reshape(p, ti, tj)
+
+    da_tile = jnp.sum(dpre1_3d, axis=2)                  # [P, TI]
+    # Two-stage reductions keep every intermediate rank>=2 (Mosaic's
+    # layout inference rejects rank-1 vectors).
+    dwg_tile = jnp.concatenate(
+        [jnp.sum(jnp.sum(dpre1_3d * g[None, :, :], axis=2), axis=1,
+                 keepdims=True)
+         for g in feats],
+        axis=1,
+    )                                                    # [P, G]
+
+    @pl.when(j == 0)
+    def _():
+        da_ref[0] = da_tile
+
+    @pl.when(j > 0)
+    def _():
+        da_ref[0] = da_ref[0] + da_tile
+
+    first = (b_idx == 0) & (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _():
+        dwg_ref[:] = dwg_tile
+        dw2_ref[:] = dw2_tile
+        db2_ref[:] = db2_tile
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dwg_ref[:] = dwg_ref[:] + dwg_tile
+        dw2_ref[:] = dw2_ref[:] + dw2_tile
+        db2_ref[:] = db2_ref[:] + db2_tile
+
+
+def _bwd_col_kernel(colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref, w2T_ref,
+                    b2_ref, w2_ref, m_ref, dm_ref, db_ref, *, spec: PoolSpec):
+    """Column-gradient pass: grid (B, J, I), i innermost; accumulates d_bT."""
+    i = pl.program_id(2)
+    p, ti, tj = spec.p, spec.ti, spec.tj
+    feats, neighbor, h1, h2 = _tile_forward(
+        spec, colsT_ref[0], cols_ref[0], aT_ref[0], bT_ref[0],
+        wgT_ref[:], w2T_ref[:], b2_ref[:],
+    )
+    m_t, dm_t = m_ref[0], dm_ref[0]
+    win = neighbor[None, :, :] & (h2 == m_t[:, :, None])
+    dh2 = jnp.where(win, dm_t[:, :, None], 0.0)
+    dpre2 = jnp.where(h2 > 0.0, dh2, 0.0).reshape(p, ti * tj)
+    dh1 = jax.lax.dot_general(
+        w2_ref[:], dpre2,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dpre1 = jnp.where(h1.reshape(p, ti * tj) > 0.0, dh1, 0.0)
+    db_tile = jnp.sum(dpre1.reshape(p, ti, tj), axis=1)  # [P, TJ]
+
+    @pl.when(i == 0)
+    def _():
+        db_ref[0] = db_tile
+
+    @pl.when(i > 0)
+    def _():
+        db_ref[0] = db_ref[0] + db_tile
+
+
+def _backward(spec: PoolSpec, residuals, dm):
+    colsT, cols, aT, bT, wgT, w2T, b2c, m = residuals
+    b, n, c_total = colsT.shape
+    p, ti, tj = spec.p, spec.ti, spec.tj
+    ni, nj = n // ti, n // tj
+    w2 = w2T.T
+    dmT = dm  # already [B, P, N]
+
+    common_specs = [
+        pl.BlockSpec((1, ti, c_total), lambda b_, i, j: (b_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c_total, tj), lambda b_, i, j: (b_, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p, ti), lambda b_, i, j: (b_, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p, tj), lambda b_, i, j: (b_, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, spec.num_features), lambda b_, i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, p), lambda b_, i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, 1), lambda b_, i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, p), lambda b_, i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p, ti), lambda b_, i, j: (b_, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p, ti), lambda b_, i, j: (b_, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    da, dwgT, dw2, db2 = pl.pallas_call(
+        functools.partial(_bwd_row_kernel, spec=spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, p, n), jnp.float32),
+            jax.ShapeDtypeStruct((p, spec.num_features), jnp.float32),
+            jax.ShapeDtypeStruct((p, p), jnp.float32),
+            jax.ShapeDtypeStruct((p, 1), jnp.float32),
+        ),
+        grid=(b, ni, nj),
+        in_specs=common_specs,
+        out_specs=(
+            pl.BlockSpec((1, p, ti), lambda b_, i, j: (b_, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, spec.num_features), lambda b_, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, p), lambda b_, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, 1), lambda b_, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=spec.interpret,
+    )(colsT, cols, aT, bT, wgT, w2T, b2c, w2, m, dmT)
+
+    # Column pass: transposed grid (B, J, I) — the i/j program ids swap,
+    # so index maps read (b, j, i).
+    col_specs = [
+        pl.BlockSpec((1, ti, c_total), lambda b_, j, i: (b_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c_total, tj), lambda b_, j, i: (b_, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p, ti), lambda b_, j, i: (b_, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p, tj), lambda b_, j, i: (b_, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, spec.num_features), lambda b_, j, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, p), lambda b_, j, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, 1), lambda b_, j, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, p), lambda b_, j, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p, ti), lambda b_, j, i: (b_, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p, ti), lambda b_, j, i: (b_, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    db = pl.pallas_call(
+        functools.partial(_bwd_col_kernel, spec=spec),
+        out_shape=jax.ShapeDtypeStruct((b, p, n), jnp.float32),
+        grid=(b, nj, ni),
+        in_specs=col_specs,
+        out_specs=pl.BlockSpec((1, p, tj), lambda b_, j, i: (b_, 0, j),
+                               memory_space=pltpu.VMEM),
+        interpret=spec.interpret,
+    )(colsT, cols, aT, bT, wgT, w2T, b2c, w2, m, dmT)
+
+    # colsT/cols carry no trainable inputs (box geometry + raw scores);
+    # their cotangents are zero by design — parameters get exact grads.
+    return (jnp.zeros_like(colsT), jnp.zeros_like(cols), da, db,
+            dwgT, dw2, db2)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp plumbing
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pair_pool_p(spec: PoolSpec, colsT, cols, aT, bT, wgT, w2T, b2c):
+    return _forward(spec, colsT, cols, aT, bT, wgT, w2T, b2c)
+
+
+def _pair_pool_fwd(spec, colsT, cols, aT, bT, wgT, w2T, b2c):
+    m = _forward(spec, colsT, cols, aT, bT, wgT, w2T, b2c)
+    return m, (colsT, cols, aT, bT, wgT, w2T, b2c, m)
+
+
+def _pair_pool_bwd(spec, residuals, dm):
+    colsT_g, cols_g, da, db, dwgT, dw2, db2 = _backward(spec, residuals, dm)
+    # dw2 is the grad of w2 in [P_in, P_out]; the primal arg is w2T.
+    return (colsT_g, cols_g, da, db, dwgT, dw2.T, db2)
+
+
+_pair_pool_p.defvjp(_pair_pool_fwd, _pair_pool_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public wrapper
+# ---------------------------------------------------------------------------
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pallas_pair_pool(
+    cols_stacked: Array,     # [B, C, N] from pf.stack_columns
+    a: Array,                # [B, N, P] = r @ Wa + b1
+    b: Array,                # [B, N, P] = r @ Wb
+    params: Any,             # models.gossipnet.PairParams
+    neighbor_iou: float,
+    classes: Array | None = None,
+    tile: int = 128,
+    interpret: bool | None = None,
+) -> Array:
+    """Streaming pair stage: returns m [B, N, P] = masked neighbor max.
+
+    Computes the same function as models.gossipnet.pair_pool_dense but
+    never materializes the pair tensor. N is padded up to a tile multiple
+    internally (padding is inert: zero boxes have zero IoU and invalid
+    flags). ``interpret`` defaults to True off-TPU so tests run on CPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, c, n = cols_stacked.shape
+    p = a.shape[-1]
+    num_features = pf.NUM_PAIR_FEATURES
+    if classes is not None:
+        cols_stacked = jnp.concatenate(
+            [cols_stacked, classes[:, None, :].astype(jnp.float32)], axis=1
+        )
+        c += 1
+        num_features = pf.NUM_PAIR_FEATURES_MC
+
+    n_pad = _round_up(n, tile)
+    ti = tj = min(tile, n_pad)
+    if n_pad != n:
+        # Pad with the columns of a degenerate-but-SAFE box (what
+        # det_columns yields for a zero box: clamped w/h, valid=0) — raw
+        # zero columns would put w=0 into the feature divisions and give
+        # inf*0=NaN in the backward reductions.
+        safe = pf.stack_columns(pf.det_columns(
+            jnp.zeros((1, 1, 4), jnp.float32),
+            jnp.zeros((1, 1), jnp.float32),
+            jnp.zeros((1, 1), bool),
+        ))                                        # [1, NUM_COLUMNS, 1]
+        if classes is not None:
+            safe = jnp.concatenate(
+                [safe, jnp.zeros((1, 1, 1), jnp.float32)], axis=1
+            )
+        pad_block = jnp.broadcast_to(safe, (bsz, c, n_pad - n))
+        cols_stacked = jnp.concatenate([cols_stacked, pad_block], axis=2)
+        a = jnp.pad(a, ((0, 0), (0, n_pad - n), (0, 0)))
+        b = jnp.pad(b, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    colsT = jnp.swapaxes(cols_stacked, 1, 2)     # [B, N, C]
+    aT = jnp.swapaxes(a, 1, 2)                   # [B, P, N]
+    bT = jnp.swapaxes(b, 1, 2)
+    wgT = params.wg.T.astype(jnp.float32)        # [P, G]
+    w2T = params.w2.T.astype(jnp.float32)        # [P_out, P_in]
+    b2c = params.b2[:, None].astype(jnp.float32)  # [P, 1]
+
+    spec = PoolSpec(
+        neighbor_iou=float(neighbor_iou),
+        num_features=num_features,
+        p=p, ti=ti, tj=tj, interpret=bool(interpret),
+    )
+    m = _pair_pool_p(
+        spec, colsT.astype(jnp.float32), cols_stacked.astype(jnp.float32),
+        aT.astype(jnp.float32), bT.astype(jnp.float32), wgT, w2T, b2c,
+    )                                            # [B, P, N_pad]
+    return jnp.swapaxes(m, 1, 2)[:, :n, :]
