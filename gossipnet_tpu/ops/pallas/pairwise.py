@@ -150,14 +150,14 @@ def _fwd_kernel(colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref, w2T_ref,
 
 
 def _forward(spec: PoolSpec, colsT, cols, aT, bT, wgT, w2T, b2c) -> Array:
-    b, n = colsT.shape[0], colsT.shape[1]
-    c_total = colsT.shape[2]
+    b, nr, c_total = colsT.shape
+    nc = cols.shape[2]
     p, ti, tj = spec.p, spec.ti, spec.tj
-    ni, nj = n // ti, n // tj
+    ni, nj = nr // ti, nc // tj
     grid = (b, ni, nj)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, spec=spec),
-        out_shape=jax.ShapeDtypeStruct((b, p, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, p, nr), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, ti, c_total), lambda b_, i, j: (b_, i, 0),
@@ -180,8 +180,8 @@ def _forward(spec: PoolSpec, colsT, cols, aT, bT, wgT, w2T, b2c) -> Array:
         interpret=spec.interpret,
         cost_estimate=pl.CostEstimate(
             # per pair: FC2 matmul (2*P*P) + ~ (G+4)*P VPU work
-            flops=b * n * n * (2 * p * p + (spec.num_features + 4) * p),
-            bytes_accessed=b * n * (c_total * 2 + 3 * p) * 4,
+            flops=b * nr * nc * (2 * p * p + (spec.num_features + 4) * p),
+            bytes_accessed=b * (nr + nc) * (c_total + 2 * p) * 4,
             transcendentals=0,
         ),
     )(colsT, cols, aT, bT, wgT, w2T, b2c)
@@ -294,9 +294,10 @@ def _bwd_col_kernel(colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref, w2T_ref,
 
 def _backward(spec: PoolSpec, residuals, dm):
     colsT, cols, aT, bT, wgT, w2T, b2c, m = residuals
-    b, n, c_total = colsT.shape
+    b, nr, c_total = colsT.shape
+    nc = cols.shape[2]
     p, ti, tj = spec.p, spec.ti, spec.tj
-    ni, nj = n // ti, n // tj
+    ni, nj = nr // ti, nc // tj
     w2 = w2T.T
     dmT = dm  # already [B, P, N]
 
@@ -325,7 +326,7 @@ def _backward(spec: PoolSpec, residuals, dm):
     da, dwgT, dw2, db2 = pl.pallas_call(
         functools.partial(_bwd_row_kernel, spec=spec),
         out_shape=(
-            jax.ShapeDtypeStruct((b, p, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, p, nr), jnp.float32),
             jax.ShapeDtypeStruct((p, spec.num_features), jnp.float32),
             jax.ShapeDtypeStruct((p, p), jnp.float32),
             jax.ShapeDtypeStruct((p, 1), jnp.float32),
@@ -371,7 +372,7 @@ def _backward(spec: PoolSpec, residuals, dm):
     ]
     db = pl.pallas_call(
         functools.partial(_bwd_col_kernel, spec=spec),
-        out_shape=jax.ShapeDtypeStruct((b, p, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, p, nc), jnp.float32),
         grid=(b, nj, ni),
         in_specs=col_specs,
         out_specs=pl.BlockSpec((1, p, tj), lambda b_, j, i: (b_, 0, j),
@@ -418,59 +419,78 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pallas_pair_pool(
-    cols_stacked: Array,     # [B, C, N] from pf.stack_columns
-    a: Array,                # [B, N, P] = r @ Wa + b1
-    b: Array,                # [B, N, P] = r @ Wb
+def _safe_pad_cols(cols_stacked: Array, n_extra: int, with_class: bool) -> Array:
+    """Append ``n_extra`` detection columns of a degenerate-but-SAFE box
+    (what det_columns yields for a zero box: clamped w/h, valid=0) — raw
+    zero columns would put w=0 into the feature divisions and give
+    inf*0=NaN in the backward reductions."""
+    bsz, c, _ = cols_stacked.shape
+    safe = pf.stack_columns(pf.det_columns(
+        jnp.zeros((1, 1, 4), jnp.float32),
+        jnp.zeros((1, 1), jnp.float32),
+        jnp.zeros((1, 1), bool),
+    ))                                            # [1, NUM_COLUMNS, 1]
+    if with_class:
+        safe = jnp.concatenate(
+            [safe, jnp.zeros((1, 1, 1), jnp.float32)], axis=1
+        )
+    pad_block = jnp.broadcast_to(safe, (bsz, c, n_extra))
+    return jnp.concatenate([cols_stacked, pad_block], axis=2)
+
+
+def pallas_pair_pool_rect(
+    row_cols: Array,         # [B, C, NR] columns of the ROW detections
+    col_cols: Array,         # [B, C, NC] columns of the COL detections
+    a_rows: Array,           # [B, NR, P] = r_rows @ Wa + b1
+    b_cols: Array,           # [B, NC, P] = r_cols @ Wb
     params: Any,             # models.gossipnet.PairParams
     neighbor_iou: float,
-    classes: Array | None = None,
+    row_classes: Array | None = None,
+    col_classes: Array | None = None,
     tile: int = 128,
     interpret: bool | None = None,
 ) -> Array:
-    """Streaming pair stage: returns m [B, N, P] = masked neighbor max.
+    """Rectangular streaming pair stage -> m [B, NR, P].
 
-    Computes the same function as models.gossipnet.pair_pool_dense but
-    never materializes the pair tensor. N is padded up to a tile multiple
-    internally (padding is inert: zero boxes have zero IoU and invalid
-    flags). ``interpret`` defaults to True off-TPU so tests run on CPU.
+    The rectangular form is what detection-axis (pair-row) sharding uses:
+    each device owns NR = N/n_det rows but sees all NC = N columns
+    (parallel/sharding.py). ``pallas_pair_pool`` is the square wrapper.
+    Both axes are padded to tile multiples internally; padding is inert.
+    ``interpret`` defaults to True off-TPU so tests run on CPU.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    bsz, c, n = cols_stacked.shape
-    p = a.shape[-1]
+    bsz, c, nr = row_cols.shape
+    nc = col_cols.shape[2]
+    p = a_rows.shape[-1]
     num_features = pf.NUM_PAIR_FEATURES
-    if classes is not None:
-        cols_stacked = jnp.concatenate(
-            [cols_stacked, classes[:, None, :].astype(jnp.float32)], axis=1
+    if row_classes is not None:
+        row_cols = jnp.concatenate(
+            [row_cols, row_classes[:, None, :].astype(jnp.float32)], axis=1
+        )
+        col_cols = jnp.concatenate(
+            [col_cols, col_classes[:, None, :].astype(jnp.float32)], axis=1
         )
         c += 1
         num_features = pf.NUM_PAIR_FEATURES_MC
 
-    n_pad = _round_up(n, tile)
-    ti = tj = min(tile, n_pad)
-    if n_pad != n:
-        # Pad with the columns of a degenerate-but-SAFE box (what
-        # det_columns yields for a zero box: clamped w/h, valid=0) — raw
-        # zero columns would put w=0 into the feature divisions and give
-        # inf*0=NaN in the backward reductions.
-        safe = pf.stack_columns(pf.det_columns(
-            jnp.zeros((1, 1, 4), jnp.float32),
-            jnp.zeros((1, 1), jnp.float32),
-            jnp.zeros((1, 1), bool),
-        ))                                        # [1, NUM_COLUMNS, 1]
-        if classes is not None:
-            safe = jnp.concatenate(
-                [safe, jnp.zeros((1, 1, 1), jnp.float32)], axis=1
-            )
-        pad_block = jnp.broadcast_to(safe, (bsz, c, n_pad - n))
-        cols_stacked = jnp.concatenate([cols_stacked, pad_block], axis=2)
-        a = jnp.pad(a, ((0, 0), (0, n_pad - n), (0, 0)))
-        b = jnp.pad(b, ((0, 0), (0, n_pad - n), (0, 0)))
+    # Row tiles need sublane (8) granularity, col tiles lane (128).
+    ti = min(tile, _round_up(nr, 8))
+    tj = min(tile, _round_up(nc, 128))
+    nr_pad = _round_up(nr, ti)
+    nc_pad = _round_up(nc, tj)
+    if nr_pad != nr:
+        row_cols = _safe_pad_cols(row_cols, nr_pad - nr,
+                                  row_classes is not None)
+        a_rows = jnp.pad(a_rows, ((0, 0), (0, nr_pad - nr), (0, 0)))
+    if nc_pad != nc:
+        col_cols = _safe_pad_cols(col_cols, nc_pad - nc,
+                                  row_classes is not None)
+        b_cols = jnp.pad(b_cols, ((0, 0), (0, nc_pad - nc), (0, 0)))
 
-    colsT = jnp.swapaxes(cols_stacked, 1, 2)     # [B, N, C]
-    aT = jnp.swapaxes(a, 1, 2)                   # [B, P, N]
-    bT = jnp.swapaxes(b, 1, 2)
+    colsT = jnp.swapaxes(row_cols, 1, 2)         # [B, NR, C]
+    aT = jnp.swapaxes(a_rows, 1, 2)              # [B, P, NR]
+    bT = jnp.swapaxes(b_cols, 1, 2)              # [B, P, NC]
     wgT = params.wg.T.astype(jnp.float32)        # [P, G]
     w2T = params.w2.T.astype(jnp.float32)        # [P_out, P_in]
     b2c = params.b2[:, None].astype(jnp.float32)  # [P, 1]
@@ -481,7 +501,27 @@ def pallas_pair_pool(
         p=p, ti=ti, tj=tj, interpret=bool(interpret),
     )
     m = _pair_pool_p(
-        spec, colsT.astype(jnp.float32), cols_stacked.astype(jnp.float32),
+        spec, colsT.astype(jnp.float32), col_cols.astype(jnp.float32),
         aT.astype(jnp.float32), bT.astype(jnp.float32), wgT, w2T, b2c,
-    )                                            # [B, P, N_pad]
-    return jnp.swapaxes(m, 1, 2)[:, :n, :]
+    )                                            # [B, P, NR_pad]
+    return jnp.swapaxes(m, 1, 2)[:, :nr, :]
+
+
+def pallas_pair_pool(
+    cols_stacked: Array,     # [B, C, N] from pf.stack_columns
+    a: Array,                # [B, N, P] = r @ Wa + b1
+    b: Array,                # [B, N, P] = r @ Wb
+    params: Any,             # models.gossipnet.PairParams
+    neighbor_iou: float,
+    classes: Array | None = None,
+    tile: int = 128,
+    interpret: bool | None = None,
+) -> Array:
+    """Square streaming pair stage: returns m [B, N, P] = masked neighbor
+    max. Computes the same function as models.gossipnet.pair_pool_dense
+    but never materializes the pair tensor."""
+    return pallas_pair_pool_rect(
+        cols_stacked, cols_stacked, a, b, params, neighbor_iou,
+        row_classes=classes, col_classes=classes,
+        tile=tile, interpret=interpret,
+    )

@@ -1,0 +1,142 @@
+"""Device-mesh execution: (data, det) sharded training and inference.
+
+The reference is strictly single-device (SURVEY.md §2.3: no DP/TP/PP, no
+collectives). The TPU rebuild scales along two axes of a
+``jax.sharding.Mesh``:
+
+- ``data``: batch data-parallelism — batches shard across chips, gradients
+  pmean over ICI (the XLA-collectives replacement for what NCCL would do
+  in a torch port).
+- ``det``: detection-axis model parallelism — rows of the O(N^2) pair
+  matrix shard across chips (parallel/spmd.py), the sequence-parallel
+  analog SURVEY.md §2.3 prescribes for crowded-scene N=4096 workloads.
+
+Everything is expressed with ``jax.shard_map`` over the mesh; XLA inserts
+the all-gathers/psums and schedules them on ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gossipnet_tpu.config import Config
+from gossipnet_tpu.losses import weighted_logistic_loss
+from gossipnet_tpu.ops.matching import greedy_match_batch
+from gossipnet_tpu.parallel.spmd import DET_AXIS, gossipnet_sharded_forward
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    n_data: int | None = None, n_det: int = 1, devices=None
+) -> Mesh:
+    """Build a ('data', 'det') mesh. n_data defaults to
+    len(devices) // n_det."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_det
+    assert n_data * n_det == len(devices), (n_data, n_det, len(devices))
+    return Mesh(devices.reshape(n_data, n_det), (DATA_AXIS, DET_AXIS))
+
+
+def _batch_specs() -> dict[str, P]:
+    return {k: P(DATA_AXIS) for k in (
+        "boxes", "scores", "valid", "classes",
+        "gt_boxes", "gt_classes", "gt_valid", "gt_crowd",
+    )}
+
+
+def _sharded_loss(params, arrays, cfg: Config, n_det: int, interpret):
+    multiclass = cfg.model.num_classes > 1
+    logits = gossipnet_sharded_forward(
+        params, cfg.model,
+        arrays["boxes"], arrays["scores"], arrays["valid"],
+        arrays["classes"] if multiclass else None,
+        num_shards=n_det, interpret=interpret,
+    )
+    match = greedy_match_batch(
+        arrays["boxes"], jax.lax.stop_gradient(logits), arrays["valid"],
+        arrays["gt_boxes"], arrays["gt_valid"], arrays["gt_crowd"],
+        jnp.asarray(cfg.matching.thresholds, jnp.float32),
+        det_classes=arrays["classes"] if cfg.matching.class_aware else None,
+        gt_classes=arrays["gt_classes"] if cfg.matching.class_aware else None,
+    )
+    return weighted_logistic_loss(logits, match, cfg.loss)
+
+
+def make_sharded_train_step(
+    cfg: Config, mesh: Mesh, tx: optax.GradientTransformation,
+    interpret: bool | None = None,
+):
+    """Returns jitted (params, opt_state, arrays) -> (params, opt_state,
+    metrics) running SPMD over the mesh.
+
+    Parameters and optimizer state are replicated; batches shard over
+    'data'; the pair stage shards over 'det'. Gradients close with
+    psum('det') (shard contributions partition every parameter gradient —
+    see parallel/spmd.py) and pmean('data').
+    """
+    n_det = mesh.shape[DET_AXIS]
+
+    def local_step(params, opt_state, arrays):
+        def loss_fn(p):
+            return _sharded_loss(p, arrays, cfg, n_det, interpret)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        if n_det > 1:
+            grads = jax.lax.psum(grads, DET_AXIS)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), _batch_specs()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_inference(
+    cfg: Config, mesh: Mesh, interpret: bool | None = None,
+):
+    """Returns jitted (params, arrays) -> rescored sigmoid scores [B, N],
+    batch sharded over 'data', pair rows over 'det'.
+
+    This is the config-5 serving path (BASELINE.json:11): shape-bucketed
+    batches stream through one compiled executable per bucket.
+    """
+    n_det = mesh.shape[DET_AXIS]
+    multiclass = cfg.model.num_classes > 1
+
+    def local_fwd(params, arrays):
+        logits = gossipnet_sharded_forward(
+            params, cfg.model,
+            arrays["boxes"], arrays["scores"], arrays["valid"],
+            arrays["classes"] if multiclass else None,
+            num_shards=n_det, interpret=interpret,
+        )
+        return jax.nn.sigmoid(logits)
+
+    spec = {k: P(DATA_AXIS) for k in ("boxes", "scores", "valid", "classes")}
+    sharded = jax.shard_map(
+        local_fwd, mesh=mesh,
+        in_specs=(P(), spec),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,133 @@
+"""Detection-axis (pair-row) sharded GossipNet forward.
+
+The reference has NO parallelism of any kind (single process, one image
+per step — SURVEY.md §2.3). This module is the TPU-native scaling path
+the survey prescribes as the analog of sequence parallelism: the O(N^2)
+pair matrix is sharded by ROWS across the 'det' mesh axis, with one small
+all-gather of the reduced per-detection state per block riding ICI
+(N x 32 floats — negligible next to the N^2/shards tile compute).
+
+Every per-detection tensor (c, r, logits) lives row-sharded; the only
+replicated work is the parameter-free matching/loss outside. Consequently
+every parameter gradient is a pure sum of per-shard contributions, so the
+train step closes with a single psum over ('data', 'det').
+
+This is a functional mirror of models/gossipnet.py's module using the
+SAME parameter tree (param names = module submodule names); parity with
+the flax module at num_shards=1 is enforced by tests/test_sharding.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from gossipnet_tpu.config import ModelConfig
+from gossipnet_tpu.models.gossipnet import PAD_LOGIT, PairParams
+from gossipnet_tpu.ops import pair_features as pf
+from gossipnet_tpu.ops.pallas.pairwise import pallas_pair_pool_rect
+
+DET_AXIS = "det"
+
+
+def _dense(p, x):
+    return x @ p["kernel"] + p["bias"]
+
+
+def gossipnet_sharded_forward(
+    params,
+    cfg: ModelConfig,
+    boxes: Array,      # [B, N, 4] replicated over 'det'
+    scores: Array,     # [B, N]
+    valid: Array,      # [B, N]
+    classes: Array | None = None,
+    axis: str = DET_AXIS,
+    num_shards: int = 1,
+    interpret: bool | None = None,
+) -> Array:
+    """Row-sharded forward; call INSIDE shard_map. Returns full logits
+    [B, N] (identical on every 'det' rank after the final all-gather).
+
+    ``num_shards`` must equal the 'det' mesh axis size (static Python
+    int — shard sizes are compile-time shapes). N % num_shards == 0.
+    """
+    multiclass = cfg.num_classes > 1
+    dtype = jnp.dtype(cfg.dtype)
+    boxes = boxes.astype(dtype)
+    scores = scores.astype(dtype)
+    b, n = scores.shape
+    assert n % num_shards == 0, (n, num_shards)
+    nloc = n // num_shards
+
+    if num_shards > 1:
+        rank = jax.lax.axis_index(axis)
+    else:
+        rank = 0
+    start = rank * nloc
+
+    def rows(x, axis_=1):
+        if num_shards == 1:
+            return x
+        return jax.lax.dynamic_slice_in_dim(x, start, nloc, axis=axis_)
+
+    cols_full = pf.det_columns(boxes, scores, valid)
+    cols_stacked = pf.stack_columns(cols_full)        # [B, C, N]
+    row_cols = rows(cols_stacked, axis_=2)            # [B, C, nloc]
+    scores_loc = rows(scores)
+    valid_loc = rows(valid)
+    classes_loc = rows(classes) if classes is not None else None
+
+    # --- input features (local rows, global comparisons) ---
+    phi = [scores_loc[..., None]]
+    if cfg.score_rank_feature:
+        key_full = jnp.where(valid, scores, -jnp.inf)     # [B, N]
+        key_loc = rows(key_full)
+        if multiclass:
+            peer = (
+                (classes_loc[..., :, None] == classes[..., None, :])
+                & valid[..., None, :]
+            )                                             # [B, nloc, N]
+        else:
+            peer = jnp.broadcast_to(
+                valid[..., None, :], (b, nloc, n)
+            )
+        higher = (key_full[..., None, :] > key_loc[..., :, None]) & peer
+        rank_feat = jnp.sum(higher.astype(dtype), axis=-1)
+        denom = jnp.maximum(jnp.sum(peer.astype(dtype), axis=-1), 1.0)
+        phi.append((rank_feat / denom)[..., None])
+    if multiclass:
+        emb_table = params["class_embed"]["embedding"].astype(dtype)
+        phi.append(emb_table[classes_loc])
+    phi = jnp.concatenate(phi, axis=-1)
+    c = _dense(params["init_fc"], phi)                    # [B, nloc, D]
+
+    # --- blocks ---
+    for k in range(cfg.num_blocks):
+        bp = params[f"block_{k}"]
+        pair = PairParams(
+            wa=bp["pair_wa"], wb=bp["pair_wb"], wg=bp["pair_wg"],
+            b1=bp["pair_b1"], w2=bp["pair_w2"], b2=bp["pair_b2"],
+        )
+        r_loc = jax.nn.relu(_dense(bp["reduce"], c))      # [B, nloc, R]
+        if num_shards > 1:
+            r_full = jax.lax.all_gather(r_loc, axis, axis=1, tiled=True)
+        else:
+            r_full = r_loc
+        a_loc = r_loc @ pair.wa + pair.b1                 # [B, nloc, P]
+        b_full = r_full @ pair.wb                         # [B, N, P]
+        m_loc = pallas_pair_pool_rect(
+            row_cols, cols_stacked, a_loc, b_full, pair,
+            cfg.neighbor_iou,
+            row_classes=classes_loc if multiclass else None,
+            col_classes=classes if multiclass else None,
+            interpret=interpret,
+        )                                                 # [B, nloc, P]
+        e = jax.nn.relu(_dense(bp["expand"], m_loc))
+        c = c + _dense(bp["expand_out"], e)
+
+    logits_loc = _dense(params["head"], c)[..., 0]        # [B, nloc]
+    logits_loc = jnp.where(valid_loc, logits_loc, PAD_LOGIT)
+    if num_shards > 1:
+        return jax.lax.all_gather(logits_loc, axis, axis=1, tiled=True)
+    return logits_loc
