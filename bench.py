@@ -17,6 +17,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from gossipnet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from __graft_entry__ import _flagship_cfg, _synthetic_arrays
     from gossipnet_tpu.train import build_model
 
@@ -40,18 +44,21 @@ def main() -> None:
             model.apply({"params": params}, boxes, scores, valid)
         )
 
-    # Warmup/compile.
-    out = rescore(params, boxes, scores, valid)
-    jax.block_until_ready(out)
-    for _ in range(3):
-        jax.block_until_ready(rescore(params, boxes, scores, valid))
+    # Warmup/compile. NB: through remote-execution stacks,
+    # block_until_ready alone is not a reliable completion barrier — only
+    # a host VALUE READBACK proves the work ran. The timed section chains
+    # each iteration's output into the next input (true data dependency)
+    # and ends with a readback, so elapsed time covers every iteration.
+    float(jnp.sum(rescore(params, boxes, scores, valid)))
 
-    iters = 50 if on_tpu else 5
+    iters = 40 if on_tpu else 5
+    sc = scores
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = rescore(params, boxes, scores, valid)
-    jax.block_until_ready(out)
+        sc = rescore(params, boxes, sc, valid)
+    checksum = float(jnp.sum(sc))
     dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
 
     dets_per_sec = batch * n * iters / dt
     print(json.dumps({
