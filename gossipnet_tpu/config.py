@@ -31,6 +31,11 @@ class ModelConfig:
     class_embed_dim: int = 32     # class embedding width (multi-class only)
     score_rank_feature: bool = True  # include per-class score-rank feature
     dtype: str = "float32"        # compute dtype for block matmuls
+    # Matmul input dtype inside the Pallas pair kernel. bfloat16 feeds the
+    # MXU at native rate (the f32 skinny FC2 matmul dominated kernel
+    # time); accumulation is always f32. Set 'float32' for bit-parity
+    # with the dense path.
+    pair_matmul_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)

@@ -219,6 +219,7 @@ class GossipNet(nn.Module):
                     inputs["cols"], a, b, params,
                     neighbor_iou=cfg.neighbor_iou,
                     classes=inputs["classes"],
+                    compute_dtype=cfg.pair_matmul_dtype,
                 )
 
             pool_inputs = {

@@ -61,6 +61,10 @@ class PoolSpec:
     ti: int                # row tile
     tj: int                # col tile
     interpret: bool        # CPU interpreter mode (tests)
+    # Matmul input dtype for the pair FCs. bfloat16 feeds the MXU at
+    # native rate (f32 costs multiple passes) and is the perf default;
+    # accumulation stays f32 either way. Geometry/features stay f32.
+    compute_dtype: str = "bfloat16"
 
 
 def _tile_columns(ref_slice: Array, axis: int) -> pf.DetColumns:
@@ -97,15 +101,25 @@ def _tile_forward(
     iou = pf.pair_iou(ci, cj)
     feats = pf.pair_feature_list(ci, cj, iou=iou, class_match=class_match)
 
-    u1 = aT_t[:, :, None] + bT_t[:, None, :]            # [P, TI, TJ]
-    for k, g in enumerate(feats):
-        u1 = u1 + wgT[:, k : k + 1][:, :, None] * g[None, :, :]
+    mm = jnp.dtype(spec.compute_dtype)
+    # Feature projection g @ Wg on the MXU: stacking the G feature planes
+    # into [G, TI*TJ] turns what was G broadcast-FMA passes over the
+    # [P, TI, TJ] tensor (the VPU bottleneck) into one skinny matmul.
+    g_stack = jnp.concatenate(
+        [g.reshape(1, ti * tj) for g in feats], axis=0
+    )                                                   # [G, M]
+    gw = jax.lax.dot_general(
+        wgT.astype(mm), g_stack.astype(mm),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(p, ti, tj)
+    u1 = aT_t[:, :, None] + bT_t[:, None, :] + gw       # [P, TI, TJ]
     h1 = jnp.maximum(u1, 0.0)
 
     h1_2d = h1.reshape(p, ti * tj)
     pre2 = (
         jax.lax.dot_general(
-            w2T, h1_2d,
+            w2T.astype(mm), h1_2d.astype(mm),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -118,7 +132,7 @@ def _tile_forward(
         & (ci.valid > 0.0)
         & (cj.valid > 0.0)
     )                                                   # [TI, TJ]
-    return feats, neighbor, h1, h2
+    return g_stack, neighbor, h1, h2
 
 
 # ---------------------------------------------------------------------------
@@ -202,7 +216,7 @@ def _bwd_row_kernel(colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref, w2T_ref,
     """
     b_idx, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     p, ti, tj = spec.p, spec.ti, spec.tj
-    feats, neighbor, h1, h2 = _tile_forward(
+    g_stack, neighbor, h1, h2 = _tile_forward(
         spec, colsT_ref[0], cols_ref[0], aT_ref[0], bT_ref[0],
         wgT_ref[:], w2T_ref[:], b2_ref[:],
     )
@@ -213,16 +227,17 @@ def _bwd_row_kernel(colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref, w2T_ref,
     dpre2 = jnp.where(h2 > 0.0, dh2, 0.0).reshape(p, ti * tj)
     h1_2d = h1.reshape(p, ti * tj)
 
+    mm = jnp.dtype(spec.compute_dtype)
     db2_tile = jnp.sum(dpre2, axis=1, keepdims=True)     # [P, 1]
     # dw2[p_in, q] = sum_m h1[p_in, m] dpre2[q, m]  (K = TI*TJ streaming)
     dw2_tile = jax.lax.dot_general(
-        h1_2d, dpre2,
+        h1_2d.astype(mm), dpre2.astype(mm),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                    # [P, P]
     # dh1 = w2 @ dpre2
     dh1 = jax.lax.dot_general(
-        w2_ref[:], dpre2,
+        w2_ref[:].astype(mm), dpre2.astype(mm),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -230,13 +245,11 @@ def _bwd_row_kernel(colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref, w2T_ref,
     dpre1_3d = dpre1.reshape(p, ti, tj)
 
     da_tile = jnp.sum(dpre1_3d, axis=2)                  # [P, TI]
-    # Two-stage reductions keep every intermediate rank>=2 (Mosaic's
-    # layout inference rejects rank-1 vectors).
-    dwg_tile = jnp.concatenate(
-        [jnp.sum(jnp.sum(dpre1_3d * g[None, :, :], axis=2), axis=1,
-                 keepdims=True)
-         for g in feats],
-        axis=1,
+    # dwgT[p, k] = sum_m dpre1[p, m] g_stack[k, m] — on the MXU.
+    dwg_tile = jax.lax.dot_general(
+        dpre1.astype(mm), g_stack.astype(mm),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )                                                    # [P, G]
 
     @pl.when(j == 0)
@@ -267,7 +280,7 @@ def _bwd_col_kernel(colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref, w2T_ref,
     """Column-gradient pass: grid (B, J, I), i innermost; accumulates d_bT."""
     i = pl.program_id(2)
     p, ti, tj = spec.p, spec.ti, spec.tj
-    feats, neighbor, h1, h2 = _tile_forward(
+    _, neighbor, h1, h2 = _tile_forward(
         spec, colsT_ref[0], cols_ref[0], aT_ref[0], bT_ref[0],
         wgT_ref[:], w2T_ref[:], b2_ref[:],
     )
@@ -275,8 +288,9 @@ def _bwd_col_kernel(colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref, w2T_ref,
     win = neighbor[None, :, :] & (h2 == m_t[:, :, None])
     dh2 = jnp.where(win, dm_t[:, :, None], 0.0)
     dpre2 = jnp.where(h2 > 0.0, dh2, 0.0).reshape(p, ti * tj)
+    mm = jnp.dtype(spec.compute_dtype)
     dh1 = jax.lax.dot_general(
-        w2_ref[:], dpre2,
+        w2_ref[:].astype(mm), dpre2.astype(mm),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -449,6 +463,7 @@ def pallas_pair_pool_rect(
     col_classes: Array | None = None,
     tile: int = 128,
     interpret: bool | None = None,
+    compute_dtype: str = "bfloat16",
 ) -> Array:
     """Rectangular streaming pair stage -> m [B, NR, P].
 
@@ -499,6 +514,7 @@ def pallas_pair_pool_rect(
         neighbor_iou=float(neighbor_iou),
         num_features=num_features,
         p=p, ti=ti, tj=tj, interpret=bool(interpret),
+        compute_dtype=compute_dtype,
     )
     m = _pair_pool_p(
         spec, colsT.astype(jnp.float32), col_cols.astype(jnp.float32),
@@ -516,6 +532,7 @@ def pallas_pair_pool(
     classes: Array | None = None,
     tile: int = 128,
     interpret: bool | None = None,
+    compute_dtype: str = "bfloat16",
 ) -> Array:
     """Square streaming pair stage: returns m [B, N, P] = masked neighbor
     max. Computes the same function as models.gossipnet.pair_pool_dense
@@ -523,5 +540,5 @@ def pallas_pair_pool(
     return pallas_pair_pool_rect(
         cols_stacked, cols_stacked, a, b, params, neighbor_iou,
         row_classes=classes, col_classes=classes,
-        tile=tile, interpret=interpret,
+        tile=tile, interpret=interpret, compute_dtype=compute_dtype,
     )

@@ -122,6 +122,7 @@ def gossipnet_sharded_forward(
             row_classes=classes_loc if multiclass else None,
             col_classes=classes if multiclass else None,
             interpret=interpret,
+            compute_dtype=cfg.pair_matmul_dtype,
         )                                                 # [B, nloc, P]
         e = jax.nn.relu(_dense(bp["expand"], m_loc))
         c = c + _dense(bp["expand_out"], e)

@@ -68,7 +68,7 @@ def _both_paths(boxes, scores, valid, classes, params):
 
     kernel = pallas_pair_pool(
         pf.stack_columns(cols), a, bb, params, NEIGHBOR_IOU,
-        classes=classes, interpret=True,
+        classes=classes, interpret=True, compute_dtype="float32",
     )
     return dense, kernel, (cols, a, bb, r)
 
@@ -113,7 +113,7 @@ def test_forward_parity_multiple_tiles(rng):
     dense = pair_pool_dense(a, bb, params.wg, params.w2, params.b2, g, mask)
     kernel = pallas_pair_pool(
         pf.stack_columns(cols), a, bb, params, NEIGHBOR_IOU,
-        tile=32, interpret=True,   # force 3x3 tile grid
+        tile=32, interpret=True, compute_dtype="float32",
     )
     np.testing.assert_allclose(
         np.asarray(dense), np.asarray(kernel), rtol=1e-5, atol=1e-5
@@ -142,7 +142,7 @@ def test_gradient_parity(rng):
         a = r @ params.wa + params.b1
         bb = r @ params.wb
         m = pallas_pair_pool(cols_stacked, a, bb, params, NEIGHBOR_IOU,
-                             interpret=True)
+                             interpret=True, compute_dtype="float32")
         return jnp.sum(jnp.sin(m))
 
     gd = jax.grad(loss_dense, argnums=(0, 1))(params, r)
@@ -165,7 +165,7 @@ def test_model_dense_vs_pallas_forward(rng):
 
     boxes, scores, valid, _ = _problem(rng, b=2, n=64)
     cfg = ModelConfig(num_blocks=2, feature_dim=32, reduced_dim=16,
-                      pairwise_dim=16)
+                      pairwise_dim=16, pair_matmul_dtype="float32")
     dense_model = GossipNet(cfg, pool_impl="dense")
     pallas_model = GossipNet(cfg, pool_impl="pallas")
     params = dense_model.init(jax.random.key(0), boxes, scores, valid)[
@@ -176,3 +176,24 @@ def test_model_dense_vs_pallas_forward(rng):
     np.testing.assert_allclose(
         np.asarray(out_d), np.asarray(out_p), rtol=1e-4, atol=1e-4
     )
+
+
+def test_forward_bf16_close_to_f32(rng):
+    """bf16 matmul path (the perf default) stays close to f32."""
+    boxes, scores, valid, _ = _problem(rng)
+    params = _params(rng)
+    cols = pf.det_columns(boxes, scores, valid)
+    b, n = scores.shape
+    r = jnp.asarray(
+        np.random.default_rng(5).normal(0, 1, (b, n, P)).astype(np.float32)
+    )
+    a = r @ params.wa + params.b1
+    bb = r @ params.wb
+    cs = pf.stack_columns(cols)
+    f32 = pallas_pair_pool(cs, a, bb, params, NEIGHBOR_IOU,
+                           interpret=True, compute_dtype="float32")
+    bf16 = pallas_pair_pool(cs, a, bb, params, NEIGHBOR_IOU,
+                            interpret=True, compute_dtype="bfloat16")
+    scale = float(jnp.max(jnp.abs(f32))) + 1e-9
+    rel = float(jnp.max(jnp.abs(f32 - bf16))) / scale
+    assert rel < 3e-2, rel

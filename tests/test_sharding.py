@@ -27,7 +27,7 @@ pytestmark = pytest.mark.skipif(
 
 def _cfg(**model_kw):
     model = dict(num_blocks=2, feature_dim=32, reduced_dim=16,
-                 pairwise_dim=16)
+                 pairwise_dim=16, pair_matmul_dtype="float32")
     model.update(model_kw)
     return Config(
         model=ModelConfig(**model),
