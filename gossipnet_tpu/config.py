@@ -36,6 +36,13 @@ class ModelConfig:
     # time); accumulation is always f32. Set 'float32' for bit-parity
     # with the dense path.
     pair_matmul_dtype: str = "bfloat16"
+    # Block-sparse pair kernel: skip TIxTJ tiles whose tile bounding boxes
+    # cannot overlap — exact for neighbor_iou > 0. Combined with
+    # sort_detections it prunes most tiles (neighbors cluster near the
+    # diagonal after an x-sort). GossipNet is permutation-equivariant, so
+    # sorting inputs and unsorting outputs is a pure perf transform.
+    block_sparse: bool = True
+    sort_detections: bool = True
 
 
 @dataclass(frozen=True)

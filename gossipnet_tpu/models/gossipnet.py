@@ -164,6 +164,22 @@ class GossipNet(nn.Module):
         boxes = boxes.astype(dtype)
         scores = scores.astype(dtype)
 
+        # Spatial sort (Pallas path): GossipNet is permutation-equivariant
+        # per detection, so sorting by box center-x and unsorting the
+        # logits is a pure perf transform — it concentrates neighbor pairs
+        # near the diagonal so the block-sparse kernel skips most tiles.
+        inv_perm = None
+        if self.pool_impl == "pallas" and cfg.sort_detections:
+            key = jnp.where(valid, 0.5 * (boxes[..., 0] + boxes[..., 2]),
+                            jnp.inf)
+            perm = jnp.argsort(key, axis=-1)
+            inv_perm = jnp.argsort(perm, axis=-1)
+            boxes = jnp.take_along_axis(boxes, perm[..., None], axis=-2)
+            scores = jnp.take_along_axis(scores, perm, axis=-1)
+            valid = jnp.take_along_axis(valid, perm, axis=-1)
+            if classes is not None:
+                classes = jnp.take_along_axis(classes, perm, axis=-1)
+
         cols = pf.det_columns(boxes, scores, valid)
         num_g = pf.NUM_PAIR_FEATURES_MC if multiclass else pf.NUM_PAIR_FEATURES
 
@@ -220,6 +236,7 @@ class GossipNet(nn.Module):
                     neighbor_iou=cfg.neighbor_iou,
                     classes=inputs["classes"],
                     compute_dtype=cfg.pair_matmul_dtype,
+                    block_sparse=cfg.block_sparse,
                 )
 
             pool_inputs = {
@@ -236,7 +253,10 @@ class GossipNet(nn.Module):
             )
 
         logits = nn.Dense(1, name="head")(c)[..., 0]
-        return jnp.where(valid, logits, PAD_LOGIT)
+        logits = jnp.where(valid, logits, PAD_LOGIT)
+        if inv_perm is not None:
+            logits = jnp.take_along_axis(logits, inv_perm, axis=-1)
+        return logits
 
 
 def rescore(params, model: GossipNet, boxes, scores, valid, classes=None):

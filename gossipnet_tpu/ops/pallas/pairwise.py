@@ -65,6 +65,12 @@ class PoolSpec:
     # native rate (f32 costs multiple passes) and is the perf default;
     # accumulation stays f32 either way. Geometry/features stay f32.
     compute_dtype: str = "bfloat16"
+    # Block-sparsity: skip (i, j) tiles whose tile bounding boxes don't
+    # intersect — no pair in such a tile can have IoU > 0, so with
+    # neighbor_iou > 0 the result is EXACT. Pays off massively when
+    # detections are sorted spatially (ModelConfig.sort_detections):
+    # neighbors then concentrate near the diagonal and most tiles skip.
+    block_sparse: bool = True
 
 
 def _tile_columns(ref_slice: Array, axis: int) -> pf.DetColumns:
@@ -136,31 +142,103 @@ def _tile_forward(
 
 
 # ---------------------------------------------------------------------------
+# block-sparsity: tile activity flags
+# ---------------------------------------------------------------------------
+
+
+def _tile_activity(colsT: Array, cols: Array, ti: int, tj: int) -> Array:
+    """Conservative per-tile-pair activity flags, flat int32 [B*NI*NJ].
+
+    A tile pair is inactive when the bounding boxes of its (valid) row and
+    column detections don't intersect: then no cross pair can have IoU > 0,
+    so (with neighbor_iou > 0) skipping the tile is exact. Computed in XLA
+    outside the kernel and fed via scalar prefetch.
+    """
+    big = 1e30
+    # colsT: [B, NR, C]; cols: [B, C, NC] — stacked DetColumns order.
+    x1r, y1r, x2r, y2r = (colsT[..., k] for k in range(4))     # [B, NR]
+    vr = colsT[..., 13] > 0.0
+    x1c, y1c, x2c, y2c = (cols[:, k, :] for k in range(4))     # [B, NC]
+    vc = cols[:, 13, :] > 0.0
+
+    def tmin(x, v, t):
+        b, n = x.shape
+        return jnp.where(v, x, big).reshape(b, n // t, t).min(-1)
+
+    def tmax(x, v, t):
+        b, n = x.shape
+        return jnp.where(v, x, -big).reshape(b, n // t, t).max(-1)
+
+    rx1, ry1 = tmin(x1r, vr, ti), tmin(y1r, vr, ti)            # [B, NI]
+    rx2, ry2 = tmax(x2r, vr, ti), tmax(y2r, vr, ti)
+    cx1, cy1 = tmin(x1c, vc, tj), tmin(y1c, vc, tj)            # [B, NJ]
+    cx2, cy2 = tmax(x2c, vc, tj), tmax(y2c, vc, tj)
+
+    ox = (rx1[:, :, None] < cx2[:, None, :]) & (cx1[:, None, :] < rx2[:, :, None])
+    oy = (ry1[:, :, None] < cy2[:, None, :]) & (cy1[:, None, :] < ry2[:, :, None])
+    return (ox & oy).astype(jnp.int32).reshape(-1)             # [B*NI*NJ]
+
+
+def _flat_flag_index(b_idx, i, j, ni, nj):
+    return (b_idx * ni + i) * nj + j
+
+
+# ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref, w2T_ref,
-                b2_ref, out_ref, *, spec: PoolSpec):
-    j = pl.program_id(2)
-    _, neighbor, _, h2 = _tile_forward(
-        spec, colsT_ref[0], cols_ref[0], aT_ref[0], bT_ref[0],
-        wgT_ref[:], w2T_ref[:], b2_ref[:],
-    )
-    masked = jnp.where(neighbor[None, :, :], h2, NEG_INF)
-    tile_max = jnp.max(masked, axis=2)                  # [P, TI]
+def _fwd_kernel(flags_ref, colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref,
+                w2T_ref, b2_ref, out_ref, *, spec: PoolSpec):
+    b_idx, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    ni, nj = pl.num_programs(1), pl.num_programs(2)
+    active = flags_ref[_flat_flag_index(b_idx, i, j, ni, nj)] > 0
 
     @pl.when(j == 0)
     def _():
-        out_ref[0] = tile_max
+        out_ref[0] = jnp.full((spec.p, spec.ti), NEG_INF, jnp.float32)
 
-    @pl.when(j > 0)
+    @pl.when(active)
     def _():
-        out_ref[0] = jnp.maximum(out_ref[0], tile_max)
+        _, neighbor, _, h2 = _tile_forward(
+            spec, colsT_ref[0], cols_ref[0], aT_ref[0], bT_ref[0],
+            wgT_ref[:], w2T_ref[:], b2_ref[:],
+        )
+        masked = jnp.where(neighbor[None, :, :], h2, NEG_INF)
+        out_ref[0] = jnp.maximum(out_ref[0], jnp.max(masked, axis=2))
 
-    @pl.when(j == pl.num_programs(2) - 1)
+    @pl.when(j == nj - 1)
     def _():
         out_ref[0] = jnp.where(out_ref[0] <= NEG_INF / 2, 0.0, out_ref[0])
+
+
+def _pool_specs(spec: PoolSpec, c_total: int):
+    p, ti, tj = spec.p, spec.ti, spec.tj
+    return [
+        pl.BlockSpec((1, ti, c_total), lambda b_, i, j, *_: (b_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c_total, tj), lambda b_, i, j, *_: (b_, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p, ti), lambda b_, i, j, *_: (b_, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p, tj), lambda b_, i, j, *_: (b_, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, spec.num_features), lambda b_, i, j, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, p), lambda b_, i, j, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, 1), lambda b_, i, j, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _make_flags(spec: PoolSpec, colsT, cols) -> Array:
+    b, nr, _ = colsT.shape
+    nc = cols.shape[2]
+    ni, nj = nr // spec.ti, nc // spec.tj
+    if spec.block_sparse and spec.neighbor_iou > 0.0:
+        return _tile_activity(colsT, cols, spec.ti, spec.tj)
+    return jnp.ones(b * ni * nj, jnp.int32)
 
 
 def _forward(spec: PoolSpec, colsT, cols, aT, bT, wgT, w2T, b2c) -> Array:
@@ -168,29 +246,18 @@ def _forward(spec: PoolSpec, colsT, cols, aT, bT, wgT, w2T, b2c) -> Array:
     nc = cols.shape[2]
     p, ti, tj = spec.p, spec.ti, spec.tj
     ni, nj = nr // ti, nc // tj
-    grid = (b, ni, nj)
+    flags = _make_flags(spec, colsT, cols)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, ni, nj),
+        in_specs=_pool_specs(spec, c_total),
+        out_specs=pl.BlockSpec((1, p, ti), lambda b_, i, j, *_: (b_, 0, i),
+                               memory_space=pltpu.VMEM),
+    )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, spec=spec),
         out_shape=jax.ShapeDtypeStruct((b, p, nr), jnp.float32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, ti, c_total), lambda b_, i, j: (b_, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_total, tj), lambda b_, i, j: (b_, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, ti), lambda b_, i, j: (b_, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, tj), lambda b_, i, j: (b_, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, spec.num_features), lambda b_, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, p), lambda b_, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, 1), lambda b_, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, p, ti), lambda b_, i, j: (b_, 0, i),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         interpret=spec.interpret,
         cost_estimate=pl.CostEstimate(
             # per pair: FC2 matmul (2*P*P) + ~ (G+4)*P VPU work
@@ -198,7 +265,7 @@ def _forward(spec: PoolSpec, colsT, cols, aT, bT, wgT, w2T, b2c) -> Array:
             bytes_accessed=b * (nr + nc) * (c_total + 2 * p) * 4,
             transcendentals=0,
         ),
-    )(colsT, cols, aT, bT, wgT, w2T, b2c)
+    )(flags, colsT, cols, aT, bT, wgT, w2T, b2c)
 
 
 # ---------------------------------------------------------------------------
@@ -206,35 +273,20 @@ def _forward(spec: PoolSpec, colsT, cols, aT, bT, wgT, w2T, b2c) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def _bwd_row_kernel(colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref, w2T_ref,
-                    b2_ref, w2_ref, m_ref, dm_ref,
-                    da_ref, dwg_ref, dw2_ref, db2_ref, *, spec: PoolSpec):
-    """Row-gradient pass: grid (B, I, J), j innermost.
-
-    Accumulates d_aT over j (block constant in j) and the weight grads
-    over the whole grid (block constant everywhere).
-    """
-    b_idx, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+def _tile_backward_core(spec: PoolSpec, colsT_ref, cols_ref, aT_ref, bT_ref,
+                        wgT_ref, w2T_ref, b2_ref, w2_ref, m_ref, dm_ref):
+    """Shared backward tile recompute -> (g_stack, h1_2d, dpre1 [P, M])."""
     p, ti, tj = spec.p, spec.ti, spec.tj
     g_stack, neighbor, h1, h2 = _tile_forward(
         spec, colsT_ref[0], cols_ref[0], aT_ref[0], bT_ref[0],
         wgT_ref[:], w2T_ref[:], b2_ref[:],
     )
-    m_t = m_ref[0]                                       # [P, TI]
-    dm_t = dm_ref[0]                                     # [P, TI]
+    m_t, dm_t = m_ref[0], dm_ref[0]                      # [P, TI]
     win = neighbor[None, :, :] & (h2 == m_t[:, :, None])
     dh2 = jnp.where(win, dm_t[:, :, None], 0.0)
     dpre2 = jnp.where(h2 > 0.0, dh2, 0.0).reshape(p, ti * tj)
     h1_2d = h1.reshape(p, ti * tj)
-
     mm = jnp.dtype(spec.compute_dtype)
-    db2_tile = jnp.sum(dpre2, axis=1, keepdims=True)     # [P, 1]
-    # dw2[p_in, q] = sum_m h1[p_in, m] dpre2[q, m]  (K = TI*TJ streaming)
-    dw2_tile = jax.lax.dot_general(
-        h1_2d.astype(mm), dpre2.astype(mm),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                    # [P, P]
     # dh1 = w2 @ dpre2
     dh1 = jax.lax.dot_general(
         w2_ref[:].astype(mm), dpre2.astype(mm),
@@ -242,68 +294,78 @@ def _bwd_row_kernel(colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref, w2T_ref,
         preferred_element_type=jnp.float32,
     )
     dpre1 = jnp.where(h1_2d > 0.0, dh1, 0.0)             # [P, M]
-    dpre1_3d = dpre1.reshape(p, ti, tj)
+    return g_stack, h1_2d, dpre2, dpre1
 
-    da_tile = jnp.sum(dpre1_3d, axis=2)                  # [P, TI]
-    # dwgT[p, k] = sum_m dpre1[p, m] g_stack[k, m] — on the MXU.
-    dwg_tile = jax.lax.dot_general(
-        dpre1.astype(mm), g_stack.astype(mm),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                    # [P, G]
+
+def _bwd_row_kernel(flags_ref, colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref,
+                    w2T_ref, b2_ref, w2_ref, m_ref, dm_ref,
+                    da_ref, dwg_ref, dw2_ref, db2_ref, *, spec: PoolSpec):
+    """Row-gradient pass: grid (B, I, J), j innermost.
+
+    Accumulates d_aT over j (block constant in j) and the weight grads
+    over the whole grid (block constant everywhere). Inactive tiles
+    (block-sparse flags) contribute nothing and skip all compute.
+    """
+    b_idx, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    ni, nj = pl.num_programs(1), pl.num_programs(2)
+    p, ti, tj = spec.p, spec.ti, spec.tj
+    active = flags_ref[_flat_flag_index(b_idx, i, j, ni, nj)] > 0
 
     @pl.when(j == 0)
     def _():
-        da_ref[0] = da_tile
+        da_ref[0] = jnp.zeros((p, ti), jnp.float32)
 
-    @pl.when(j > 0)
+    @pl.when((b_idx == 0) & (i == 0) & (j == 0))
     def _():
-        da_ref[0] = da_ref[0] + da_tile
+        dwg_ref[:] = jnp.zeros((p, spec.num_features), jnp.float32)
+        dw2_ref[:] = jnp.zeros((p, p), jnp.float32)
+        db2_ref[:] = jnp.zeros((p, 1), jnp.float32)
 
-    first = (b_idx == 0) & (i == 0) & (j == 0)
-
-    @pl.when(first)
+    @pl.when(active)
     def _():
-        dwg_ref[:] = dwg_tile
-        dw2_ref[:] = dw2_tile
-        db2_ref[:] = db2_tile
+        g_stack, h1_2d, dpre2, dpre1 = _tile_backward_core(
+            spec, colsT_ref, cols_ref, aT_ref, bT_ref,
+            wgT_ref, w2T_ref, b2_ref, w2_ref, m_ref, dm_ref,
+        )
+        mm = jnp.dtype(spec.compute_dtype)
+        da_ref[0] = da_ref[0] + jnp.sum(
+            dpre1.reshape(p, ti, tj), axis=2
+        )
+        # dwgT[p, k] = sum_m dpre1[p, m] g_stack[k, m] — on the MXU.
+        dwg_ref[:] = dwg_ref[:] + jax.lax.dot_general(
+            dpre1.astype(mm), g_stack.astype(mm),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dw2[p_in, q] = sum_m h1[p_in, m] dpre2[q, m]
+        dw2_ref[:] = dw2_ref[:] + jax.lax.dot_general(
+            h1_2d.astype(mm), dpre2.astype(mm),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db2_ref[:] = db2_ref[:] + jnp.sum(dpre2, axis=1, keepdims=True)
 
-    @pl.when(jnp.logical_not(first))
-    def _():
-        dwg_ref[:] = dwg_ref[:] + dwg_tile
-        dw2_ref[:] = dw2_ref[:] + dw2_tile
-        db2_ref[:] = db2_ref[:] + db2_tile
 
-
-def _bwd_col_kernel(colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref, w2T_ref,
-                    b2_ref, w2_ref, m_ref, dm_ref, db_ref, *, spec: PoolSpec):
+def _bwd_col_kernel(flags_ref, colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref,
+                    w2T_ref, b2_ref, w2_ref, m_ref, dm_ref, db_ref,
+                    *, spec: PoolSpec):
     """Column-gradient pass: grid (B, J, I), i innermost; accumulates d_bT."""
-    i = pl.program_id(2)
+    b_idx, j, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    ni, nj = pl.num_programs(2), pl.num_programs(1)
     p, ti, tj = spec.p, spec.ti, spec.tj
-    _, neighbor, h1, h2 = _tile_forward(
-        spec, colsT_ref[0], cols_ref[0], aT_ref[0], bT_ref[0],
-        wgT_ref[:], w2T_ref[:], b2_ref[:],
-    )
-    m_t, dm_t = m_ref[0], dm_ref[0]
-    win = neighbor[None, :, :] & (h2 == m_t[:, :, None])
-    dh2 = jnp.where(win, dm_t[:, :, None], 0.0)
-    dpre2 = jnp.where(h2 > 0.0, dh2, 0.0).reshape(p, ti * tj)
-    mm = jnp.dtype(spec.compute_dtype)
-    dh1 = jax.lax.dot_general(
-        w2_ref[:].astype(mm), dpre2.astype(mm),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dpre1 = jnp.where(h1.reshape(p, ti * tj) > 0.0, dh1, 0.0)
-    db_tile = jnp.sum(dpre1.reshape(p, ti, tj), axis=1)  # [P, TJ]
+    active = flags_ref[_flat_flag_index(b_idx, i, j, ni, nj)] > 0
 
     @pl.when(i == 0)
     def _():
-        db_ref[0] = db_tile
+        db_ref[0] = jnp.zeros((p, tj), jnp.float32)
 
-    @pl.when(i > 0)
+    @pl.when(active)
     def _():
-        db_ref[0] = db_ref[0] + db_tile
+        _, _, _, dpre1 = _tile_backward_core(
+            spec, colsT_ref, cols_ref, aT_ref, bT_ref,
+            wgT_ref, w2T_ref, b2_ref, w2_ref, m_ref, dm_ref,
+        )
+        db_ref[0] = db_ref[0] + jnp.sum(dpre1.reshape(p, ti, tj), axis=1)
 
 
 def _backward(spec: PoolSpec, residuals, dm):
@@ -314,27 +376,14 @@ def _backward(spec: PoolSpec, residuals, dm):
     ni, nj = nr // ti, nc // tj
     w2 = w2T.T
     dmT = dm  # already [B, P, N]
+    flags = _make_flags(spec, colsT, cols)
 
-    common_specs = [
-        pl.BlockSpec((1, ti, c_total), lambda b_, i, j: (b_, i, 0),
+    row_specs = _pool_specs(spec, c_total) + [
+        pl.BlockSpec((p, p), lambda b_, i, j, *_: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, c_total, tj), lambda b_, i, j: (b_, 0, j),
+        pl.BlockSpec((1, p, ti), lambda b_, i, j, *_: (b_, 0, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, ti), lambda b_, i, j: (b_, 0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, tj), lambda b_, i, j: (b_, 0, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((p, spec.num_features), lambda b_, i, j: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((p, p), lambda b_, i, j: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((p, 1), lambda b_, i, j: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((p, p), lambda b_, i, j: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, ti), lambda b_, i, j: (b_, 0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, ti), lambda b_, i, j: (b_, 0, i),
+        pl.BlockSpec((1, p, ti), lambda b_, i, j, *_: (b_, 0, i),
                      memory_space=pltpu.VMEM),
     ]
     da, dwgT, dw2, db2 = pl.pallas_call(
@@ -345,54 +394,61 @@ def _backward(spec: PoolSpec, residuals, dm):
             jax.ShapeDtypeStruct((p, p), jnp.float32),
             jax.ShapeDtypeStruct((p, 1), jnp.float32),
         ),
-        grid=(b, ni, nj),
-        in_specs=common_specs,
-        out_specs=(
-            pl.BlockSpec((1, p, ti), lambda b_, i, j: (b_, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, spec.num_features), lambda b_, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, p), lambda b_, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, 1), lambda b_, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, ni, nj),
+            in_specs=row_specs,
+            out_specs=(
+                pl.BlockSpec((1, p, ti), lambda b_, i, j, *_: (b_, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((p, spec.num_features),
+                             lambda b_, i, j, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((p, p), lambda b_, i, j, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((p, 1), lambda b_, i, j, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
         ),
         interpret=spec.interpret,
-    )(colsT, cols, aT, bT, wgT, w2T, b2c, w2, m, dmT)
+    )(flags, colsT, cols, aT, bT, wgT, w2T, b2c, w2, m, dmT)
 
     # Column pass: transposed grid (B, J, I) — the i/j program ids swap,
     # so index maps read (b, j, i).
     col_specs = [
-        pl.BlockSpec((1, ti, c_total), lambda b_, j, i: (b_, i, 0),
+        pl.BlockSpec((1, ti, c_total), lambda b_, j, i, *_: (b_, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, c_total, tj), lambda b_, j, i: (b_, 0, j),
+        pl.BlockSpec((1, c_total, tj), lambda b_, j, i, *_: (b_, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, ti), lambda b_, j, i: (b_, 0, i),
+        pl.BlockSpec((1, p, ti), lambda b_, j, i, *_: (b_, 0, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, tj), lambda b_, j, i: (b_, 0, j),
+        pl.BlockSpec((1, p, tj), lambda b_, j, i, *_: (b_, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((p, spec.num_features), lambda b_, j, i: (0, 0),
+        pl.BlockSpec((p, spec.num_features), lambda b_, j, i, *_: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((p, p), lambda b_, j, i: (0, 0),
+        pl.BlockSpec((p, p), lambda b_, j, i, *_: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((p, 1), lambda b_, j, i: (0, 0),
+        pl.BlockSpec((p, 1), lambda b_, j, i, *_: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((p, p), lambda b_, j, i: (0, 0),
+        pl.BlockSpec((p, p), lambda b_, j, i, *_: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, ti), lambda b_, j, i: (b_, 0, i),
+        pl.BlockSpec((1, p, ti), lambda b_, j, i, *_: (b_, 0, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, ti), lambda b_, j, i: (b_, 0, i),
+        pl.BlockSpec((1, p, ti), lambda b_, j, i, *_: (b_, 0, i),
                      memory_space=pltpu.VMEM),
     ]
     db = pl.pallas_call(
         functools.partial(_bwd_col_kernel, spec=spec),
         out_shape=jax.ShapeDtypeStruct((b, p, nc), jnp.float32),
-        grid=(b, nj, ni),
-        in_specs=col_specs,
-        out_specs=pl.BlockSpec((1, p, tj), lambda b_, j, i: (b_, 0, j),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nj, ni),
+            in_specs=col_specs,
+            out_specs=pl.BlockSpec((1, p, tj), lambda b_, j, i, *_: (b_, 0, j),
+                                   memory_space=pltpu.VMEM),
+        ),
         interpret=spec.interpret,
-    )(colsT, cols, aT, bT, wgT, w2T, b2c, w2, m, dmT)
+    )(flags, colsT, cols, aT, bT, wgT, w2T, b2c, w2, m, dmT)
 
     # colsT/cols carry no trainable inputs (box geometry + raw scores);
     # their cotangents are zero by design — parameters get exact grads.
@@ -464,6 +520,7 @@ def pallas_pair_pool_rect(
     tile: int = 128,
     interpret: bool | None = None,
     compute_dtype: str = "bfloat16",
+    block_sparse: bool = True,
 ) -> Array:
     """Rectangular streaming pair stage -> m [B, NR, P].
 
@@ -514,7 +571,7 @@ def pallas_pair_pool_rect(
         neighbor_iou=float(neighbor_iou),
         num_features=num_features,
         p=p, ti=ti, tj=tj, interpret=bool(interpret),
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, block_sparse=block_sparse,
     )
     m = _pair_pool_p(
         spec, colsT.astype(jnp.float32), col_cols.astype(jnp.float32),
@@ -533,6 +590,7 @@ def pallas_pair_pool(
     tile: int = 128,
     interpret: bool | None = None,
     compute_dtype: str = "bfloat16",
+    block_sparse: bool = True,
 ) -> Array:
     """Square streaming pair stage: returns m [B, N, P] = masked neighbor
     max. Computes the same function as models.gossipnet.pair_pool_dense
@@ -541,4 +599,5 @@ def pallas_pair_pool(
         cols_stacked, cols_stacked, a, b, params, neighbor_iou,
         row_classes=classes, col_classes=classes,
         tile=tile, interpret=interpret, compute_dtype=compute_dtype,
+        block_sparse=block_sparse,
     )

@@ -60,6 +60,21 @@ def gossipnet_sharded_forward(
     assert n % num_shards == 0, (n, num_shards)
     nloc = n // num_shards
 
+    # Spatial sort for the block-sparse kernel (see models/gossipnet.py);
+    # inputs are replicated over 'det', so every rank computes the same
+    # permutation and the row slicing below stays consistent.
+    inv_perm = None
+    if cfg.sort_detections:
+        sort_key = jnp.where(valid, 0.5 * (boxes[..., 0] + boxes[..., 2]),
+                             jnp.inf)
+        perm = jnp.argsort(sort_key, axis=-1)
+        inv_perm = jnp.argsort(perm, axis=-1)
+        boxes = jnp.take_along_axis(boxes, perm[..., None], axis=-2)
+        scores = jnp.take_along_axis(scores, perm, axis=-1)
+        valid = jnp.take_along_axis(valid, perm, axis=-1)
+        if classes is not None:
+            classes = jnp.take_along_axis(classes, perm, axis=-1)
+
     if num_shards > 1:
         rank = jax.lax.axis_index(axis)
     else:
@@ -123,6 +138,7 @@ def gossipnet_sharded_forward(
             col_classes=classes if multiclass else None,
             interpret=interpret,
             compute_dtype=cfg.pair_matmul_dtype,
+            block_sparse=cfg.block_sparse,
         )                                                 # [B, nloc, P]
         e = jax.nn.relu(_dense(bp["expand"], m_loc))
         c = c + _dense(bp["expand_out"], e)
@@ -130,5 +146,9 @@ def gossipnet_sharded_forward(
     logits_loc = _dense(params["head"], c)[..., 0]        # [B, nloc]
     logits_loc = jnp.where(valid_loc, logits_loc, PAD_LOGIT)
     if num_shards > 1:
-        return jax.lax.all_gather(logits_loc, axis, axis=1, tiled=True)
-    return logits_loc
+        logits = jax.lax.all_gather(logits_loc, axis, axis=1, tiled=True)
+    else:
+        logits = logits_loc
+    if inv_perm is not None:
+        logits = jnp.take_along_axis(logits, inv_perm, axis=-1)
+    return logits
