@@ -93,31 +93,40 @@ def _evaluate_image(
         gt_boxes[gord], gt_crowd[gord], gt_ignore[gord]
     )
 
-    ious = _np_iou_xyxy(det_boxes, gt_boxes, gt_crowd_s)
     n, g = len(det_boxes), len(gt_boxes)
-    dt_matched = np.zeros((t, n), bool)
-    dt_ignore = np.zeros((t, n), bool)
-    gt_matched = np.zeros((t, g), bool)
+    from gossipnet_tpu import native
 
-    for ti, thr in enumerate(IOU_THRS):
-        for d in range(n):
-            best, best_iou = -1, min(thr, 1 - 1e-10)
-            for gi in range(g):
-                if gt_matched[ti, gi] and not gt_crowd_s[gi]:
+    if native.available():
+        # Hot path in C++ (native/gossip_native.cc eval_match) — same
+        # algorithm, parity-tested in tests/test_native.py.
+        dt_matched, dt_ignore = native.eval_match(
+            det_boxes, gt_boxes, gt_crowd_s, gt_ignore, IOU_THRS
+        )
+    else:
+        ious = _np_iou_xyxy(det_boxes, gt_boxes, gt_crowd_s)
+        dt_matched = np.zeros((t, n), bool)
+        dt_ignore = np.zeros((t, n), bool)
+        gt_matched = np.zeros((t, g), bool)
+
+        for ti, thr in enumerate(IOU_THRS):
+            for d in range(n):
+                best, best_iou = -1, min(thr, 1 - 1e-10)
+                for gi in range(g):
+                    if gt_matched[ti, gi] and not gt_crowd_s[gi]:
+                        continue
+                    # Prefer any non-ignored match over ignored ones: once
+                    # a real GT is held and we reach the ignored tail, stop.
+                    if best > -1 and not gt_ignore[best] and gt_ignore[gi]:
+                        break
+                    if ious[d, gi] < best_iou:
+                        continue
+                    best_iou = ious[d, gi]
+                    best = gi
+                if best == -1:
                     continue
-                # Prefer any non-ignored match over ignored ones: once a
-                # real GT is held and we reach the ignored tail, stop.
-                if best > -1 and not gt_ignore[best] and gt_ignore[gi]:
-                    break
-                if ious[d, gi] < best_iou:
-                    continue
-                best_iou = ious[d, gi]
-                best = gi
-            if best == -1:
-                continue
-            gt_matched[ti, best] = True
-            dt_matched[ti, d] = True
-            dt_ignore[ti, d] = gt_ignore[best]
+                gt_matched[ti, best] = True
+                dt_matched[ti, d] = True
+                dt_ignore[ti, d] = gt_ignore[best]
 
     # Unmatched detections outside the area range are ignored.
     det_area = np.clip(det_boxes[:, 2] - det_boxes[:, 0], 0, None) * np.clip(

@@ -103,3 +103,78 @@ def evaluate_greedy_nms(
             keep_mask[sel[kept]] = True
         keep_by_image[rec.image_id] = np.where(keep_mask)[0]
     return _evaluator_for(roidb, keep_by_image=keep_by_image).summarize()
+
+
+def main(argv=None) -> None:
+    """CLI: rescore a val set with a trained checkpoint and print COCO AP
+    alongside the raw-score and (tuned) GreedyNMS baselines — the eval
+    pass of the reference's train.py (SURVEY.md §3.2) as a standalone
+    tool."""
+    import argparse
+    import json as _json
+
+    import jax
+
+    from gossipnet_tpu.config import load_config
+    from gossipnet_tpu.data.bucketing import BatchIterator
+    from gossipnet_tpu.train import build_model, create_train_state
+    from gossipnet_tpu.utils.cache import enable_compilation_cache
+    from gossipnet_tpu.utils.checkpoint import CheckpointManager
+
+    enable_compilation_cache()
+    p = argparse.ArgumentParser(description="Evaluate GossipNet rescoring")
+    p.add_argument("-c", "--config", default=None)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="override cfg.train.checkpoint_dir")
+    p.add_argument("--nms-sweep", action="store_true",
+                   help="sweep GreedyNMS thresholds for the tuned baseline")
+    p.add_argument("--pool-impl", default=None)
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.config)
+    if cfg.data.dataset == "synthetic":
+        from gossipnet_tpu.data.synthetic import synthetic_roidb
+
+        roidb = synthetic_roidb(num_images=64, seed=123,
+                                num_classes=cfg.model.num_classes)
+    else:
+        from gossipnet_tpu.data.roidb import build_roidb
+
+        roidb = build_roidb(cfg.data.ann_file, cfg.data.det_file,
+                            person_only=cfg.data.person_only,
+                            max_dets=cfg.data.max_detections)
+
+    pool_impl = args.pool_impl or (
+        "pallas" if jax.default_backend() == "tpu" else "dense"
+    )
+    model = build_model(cfg, pool_impl)
+    it = BatchIterator(roidb, cfg.train.batch_size, cfg.data.bucket_sizes)
+    state = create_train_state(cfg, model, next(it))
+    ckpt_dir = args.checkpoint_dir or cfg.train.checkpoint_dir
+    ckpt = CheckpointManager(ckpt_dir)
+    if ckpt.latest_step() is not None:
+        state, _ = ckpt.restore(state)
+        print(f"restored step {int(state.step)} from {ckpt_dir}")
+    else:
+        print(f"WARNING: no checkpoint in {ckpt_dir}; evaluating init")
+
+    out = {
+        "gossipnet": evaluate_model(
+            state.params, model, roidb,
+            batch_size=cfg.train.batch_size,
+            bucket_sizes=cfg.data.bucket_sizes,
+        ),
+        "raw_scores": evaluate_raw_scores(roidb),
+    }
+    thrs = np.arange(0.3, 0.75, 0.05) if args.nms_sweep else [0.5]
+    best = None
+    for t in thrs:
+        s = evaluate_greedy_nms(roidb, float(t))
+        if best is None or s["AP"] > best[1]["AP"]:
+            best = (float(t), s)
+    out["greedy_nms"] = {"iou_threshold": best[0], **best[1]}
+    print(_json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""ctypes bindings for the host-side C++ library (native/gossip_native.cc).
+
+Loads ``native/libgossip_native.so`` if present (``make -C native``); all
+callers have pure-numpy fallbacks, so the build is optional. pybind11 is
+deliberately not used (not in the environment); the ABI is plain C.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[1] / "native"
+_LIB_PATH = _NATIVE_DIR / "libgossip_native.so"
+_lib = None
+_load_failed = False
+
+
+def build(quiet: bool = True) -> bool:
+    """Build the shared library via make. Returns success."""
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=quiet,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not _LIB_PATH.exists():
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.eval_match.argtypes = [
+            f32p, ctypes.c_int, f32p, u8p, u8p, ctypes.c_int,
+            f32p, ctypes.c_int, u8p, u8p,
+        ]
+        lib.eval_match.restype = None
+        lib.greedy_match.argtypes = [
+            f32p, f32p, u8p, ctypes.c_int, f32p, u8p, u8p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, f32p, ctypes.c_int,
+            f32p, u8p, i32p,
+        ]
+        lib.greedy_match.restype = None
+        lib.greedy_nms.argtypes = [
+            f32p, f32p, ctypes.c_int, ctypes.c_float, i32p,
+        ]
+        lib.greedy_nms.restype = ctypes.c_int
+        _lib = lib
+    except OSError:
+        _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def eval_match(det_boxes, gt_boxes, gt_crowd, gt_ignore, thresholds):
+    """COCO eval matching (pre-sorted inputs) -> (dt_matched, dt_ignore),
+    both [T, n] bool. Requires the native lib (callers check
+    :func:`available`)."""
+    lib = _load()
+    n, g = len(det_boxes), len(gt_boxes)
+    t = len(thresholds)
+    dt_matched = np.zeros((t, n), np.uint8)
+    dt_ignore = np.zeros((t, n), np.uint8)
+    lib.eval_match(
+        np.ascontiguousarray(det_boxes, np.float32), n,
+        np.ascontiguousarray(gt_boxes, np.float32),
+        np.ascontiguousarray(gt_crowd, np.uint8),
+        np.ascontiguousarray(gt_ignore, np.uint8), g,
+        np.ascontiguousarray(thresholds, np.float32), t,
+        dt_matched, dt_ignore,
+    )
+    return dt_matched.astype(bool), dt_ignore.astype(bool)
+
+
+def greedy_match(det_boxes, det_scores, det_valid, gt_boxes, gt_valid,
+                 gt_crowd, thresholds, det_classes=None, gt_classes=None):
+    """Host oracle for the training-loss matching (the reference op's
+    algorithm) -> (labels [T,n] f32, ignore [T,n] bool, matched_gt [T,n])."""
+    lib = _load()
+    n, g = len(det_boxes), len(gt_boxes)
+    t = len(thresholds)
+    labels = np.zeros((t, n), np.float32)
+    ignore = np.zeros((t, n), np.uint8)
+    matched = np.zeros((t, n), np.int32)
+    if det_classes is not None:
+        dc = np.ascontiguousarray(det_classes, np.int32)
+        gc = np.ascontiguousarray(gt_classes, np.int32)
+        dc_ptr = dc.ctypes.data_as(ctypes.c_void_p)
+        gc_ptr = gc.ctypes.data_as(ctypes.c_void_p)
+    else:
+        dc_ptr = gc_ptr = None
+    lib.greedy_match(
+        np.ascontiguousarray(det_boxes, np.float32),
+        np.ascontiguousarray(det_scores, np.float32),
+        np.ascontiguousarray(det_valid, np.uint8), n,
+        np.ascontiguousarray(gt_boxes, np.float32),
+        np.ascontiguousarray(gt_valid, np.uint8),
+        np.ascontiguousarray(gt_crowd, np.uint8), g,
+        dc_ptr, gc_ptr,
+        np.ascontiguousarray(thresholds, np.float32), t,
+        labels, ignore, matched,
+    )
+    return labels, ignore.astype(bool), matched
+
+
+def greedy_nms(boxes, scores, iou_threshold=0.5):
+    """Fast host NMS -> kept indices (descending score)."""
+    lib = _load()
+    n = len(scores)
+    keep = np.zeros(n, np.int32)
+    nk = lib.greedy_nms(
+        np.ascontiguousarray(boxes, np.float32),
+        np.ascontiguousarray(scores, np.float32),
+        n, float(iou_threshold), keep,
+    )
+    return keep[:nk].astype(np.int64)

@@ -157,11 +157,13 @@ def train(
     metrics_path: str | None = None,
     max_steps: int | None = None,
     eval_fn=None,
+    profile_dir: str | None = None,
 ) -> TrainState:
     """Full training loop with checkpoint/resume and periodic eval.
 
     ``eval_fn(state) -> dict`` overrides the default COCO eval (tests use
     this). Resumes automatically from ``cfg.train.checkpoint_dir``.
+    ``profile_dir`` enables a jax.profiler trace of steps 10-15.
     """
     t = cfg.train
     max_steps = max_steps if max_steps is not None else t.max_steps
@@ -183,6 +185,10 @@ def train(
 
     logger = MetricsLogger(metrics_path)
     timer = StepTimer()
+    from gossipnet_tpu.utils.profiling import StepProfiler
+
+    profiler = StepProfiler(profile_dir or "profile",
+                            enabled=bool(profile_dir))
 
     def default_eval(st):
         if val_roidb is None:
@@ -202,6 +208,7 @@ def train(
         state, metrics = train_step(state, arrays, cfg)
         step = int(state.step)
         timer.tick(int(np.sum(batch.valid)))
+        profiler.step(step)
 
         if step % t.log_every == 0 or step == max_steps:
             logger.log(
@@ -219,6 +226,7 @@ def train(
                 if "AP" in stats:
                     ckpt.maybe_save_best(stats["AP"], state)
 
+    profiler.close()
     ckpt.save(int(state.step), state, {"iterator": it.get_state()})
     ckpt.close()
     return state
@@ -233,8 +241,21 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="Train GossipNet (TPU-native)")
     p.add_argument("-c", "--config", default=None, help="YAML config")
     p.add_argument("--metrics", default="train_metrics.jsonl")
-    p.add_argument("--pool-impl", default="dense", choices=["dense", "pallas"])
+    p.add_argument("--pool-impl", default=None,
+                   choices=[None, "dense", "pallas"],
+                   help="default: pallas on TPU, dense elsewhere")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="dump a jax.profiler trace of steps 10-15 to DIR")
     args = p.parse_args(argv)
+
+    import jax
+
+    from gossipnet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    pool_impl = args.pool_impl or (
+        "pallas" if jax.default_backend() == "tpu" else "dense"
+    )
 
     cfg = load_config(args.config)
     if cfg.data.dataset == "synthetic":
@@ -257,8 +278,8 @@ def main(argv: list[str] | None = None) -> None:
             max_dets=cfg.data.max_detections,
         )
         val = None
-    train(cfg, roidb, val_roidb=val, pool_impl=args.pool_impl,
-          metrics_path=args.metrics)
+    train(cfg, roidb, val_roidb=val, pool_impl=pool_impl,
+          metrics_path=args.metrics, profile_dir=args.profile)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,187 @@
+// gossip_native: host-side C++ kernels for gossipnet_tpu.
+//
+// The reference's only native component is a C++ TensorFlow CPU op doing
+// greedy det<->GT matching inside the training loss
+// (reference: matching_module/det_matching.cc). In the TPU rebuild the
+// TRAINING matching runs on-device as vectorized XLA (ops/matching.py) —
+// porting it to host C++ would reintroduce the reference's per-step
+// device<->host round trip. The native surface instead moves to where
+// host work actually dominates here:
+//
+//   * eval_match    — the COCO evaluation per-image matching loop
+//                     (pycocotools semantics), the hot path of the
+//                     vendored pure-numpy COCOeval.
+//   * greedy_match  — the reference op's exact algorithm, as a host
+//                     oracle for parity-testing the XLA implementation.
+//   * greedy_nms    — classic greedy NMS for host-side baselines.
+//
+// Built as a plain shared library (see Makefile) and loaded with ctypes
+// (gossipnet_tpu/native.py); every entry point has a numpy fallback so
+// the framework works without the build step.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+inline double box_area(const float* b) {
+  const double w = std::max(0.0, double(b[2]) - double(b[0]));
+  const double h = std::max(0.0, double(b[3]) - double(b[1]));
+  return w * h;
+}
+
+// IoU; if `crowd`, intersection-over-detection-area (pycocotools iscrowd).
+inline double overlap(const float* det, const float* gt, bool crowd) {
+  const double ix = std::max(
+      0.0, std::min(double(det[2]), double(gt[2])) -
+               std::max(double(det[0]), double(gt[0])));
+  const double iy = std::max(
+      0.0, std::min(double(det[3]), double(gt[3])) -
+               std::max(double(det[1]), double(gt[1])));
+  const double inter = ix * iy;
+  const double denom =
+      crowd ? box_area(det) : box_area(det) + box_area(gt) - inter;
+  return denom > 0.0 ? inter / denom : 0.0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// COCO evaluation matching for one image, one class, all thresholds.
+// Inputs are PRE-SORTED: detections by descending score (capped at
+// maxDet), GTs with non-ignored first. Mirrors pycocotools
+// COCOeval.evaluateImg.
+//
+//   det_boxes  [n*4] xyxy    gt_boxes [g*4] xyxy
+//   gt_crowd   [g]  0/1      gt_ignore [g] 0/1
+//   thresholds [t]
+// Outputs (caller-allocated):
+//   dt_matched [t*n] 0/1     dt_ignore [t*n] 0/1
+void eval_match(const float* det_boxes, int n, const float* gt_boxes,
+                const uint8_t* gt_crowd, const uint8_t* gt_ignore, int g,
+                const float* thresholds, int t, uint8_t* dt_matched,
+                uint8_t* dt_ignore) {
+  std::memset(dt_matched, 0, size_t(t) * n);
+  std::memset(dt_ignore, 0, size_t(t) * n);
+  if (n == 0) return;
+  // Precompute overlaps once (shared across thresholds).
+  std::vector<double> ious(size_t(n) * std::max(g, 1), 0.0);
+  for (int d = 0; d < n; ++d)
+    for (int j = 0; j < g; ++j)
+      ious[size_t(d) * g + j] =
+          overlap(det_boxes + 4 * d, gt_boxes + 4 * j, gt_crowd[j] != 0);
+
+  std::vector<char> gtm(size_t(t) * std::max(g, 1), 0);
+  for (int ti = 0; ti < t; ++ti) {
+    const double thr = thresholds[ti];
+    for (int d = 0; d < n; ++d) {
+      int best = -1;
+      double best_iou = std::min(double(thr), 1.0 - 1e-10);
+      for (int j = 0; j < g; ++j) {
+        if (gtm[size_t(ti) * g + j] && !gt_crowd[j]) continue;
+        // Holding a real match and reaching the ignored tail: stop.
+        if (best > -1 && !gt_ignore[best] && gt_ignore[j]) break;
+        const double o = ious[size_t(d) * g + j];
+        if (o < best_iou) continue;
+        best_iou = o;
+        best = j;
+      }
+      if (best == -1) continue;
+      gtm[size_t(ti) * g + best] = 1;
+      dt_matched[size_t(ti) * n + d] = 1;
+      dt_ignore[size_t(ti) * n + d] = gt_ignore[best];
+    }
+  }
+}
+
+// Training-loss matching oracle: EXACT algorithm of the reference op
+// (matching_module/det_matching.cc): greedy over detections in
+// descending-score order; each takes the highest-IoU still-unmatched
+// non-crowd GT with IoU >= thr; unmatched detections overlapping a crowd
+// region (IoF >= thr) are ignored. Outputs per threshold.
+//
+//   labels     [t*n] 0/1     ignore [t*n] 0/1    matched_gt [t*n] (-1)
+void greedy_match(const float* det_boxes, const float* det_scores,
+                  const uint8_t* det_valid, int n, const float* gt_boxes,
+                  const uint8_t* gt_valid, const uint8_t* gt_crowd, int g,
+                  const int32_t* det_classes, const int32_t* gt_classes,
+                  const float* thresholds, int t, float* labels,
+                  uint8_t* ignore, int32_t* matched_gt) {
+  std::vector<int> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+    const float sa = det_valid[a] ? det_scores[a] : -1e30f;
+    const float sb = det_valid[b] ? det_scores[b] : -1e30f;
+    return sa > sb;
+  });
+  std::memset(labels, 0, sizeof(float) * size_t(t) * n);
+  for (int ti = 0; ti < t; ++ti)
+    for (int d = 0; d < n; ++d) {
+      ignore[size_t(ti) * n + d] = det_valid[d] ? 0 : 1;
+      matched_gt[size_t(ti) * n + d] = -1;
+    }
+
+  std::vector<char> taken(size_t(t) * std::max(g, 1), 0);
+  for (int ti = 0; ti < t; ++ti) {
+    const double thr = thresholds[ti];
+    for (int k = 0; k < n; ++k) {
+      const int d = order[k];
+      if (!det_valid[d]) continue;
+      int best = -1;
+      double best_iou = thr - 1e-12;
+      for (int j = 0; j < g; ++j) {
+        if (!gt_valid[j] || gt_crowd[j] || taken[size_t(ti) * g + j])
+          continue;
+        if (det_classes && det_classes[d] != gt_classes[j]) continue;
+        const double o = overlap(det_boxes + 4 * d, gt_boxes + 4 * j, false);
+        if (o >= thr && o > best_iou) {
+          best_iou = o;
+          best = j;
+        }
+      }
+      if (best >= 0) {
+        labels[size_t(ti) * n + d] = 1.0f;
+        matched_gt[size_t(ti) * n + d] = best;
+        taken[size_t(ti) * g + best] = 1;
+      } else {
+        for (int j = 0; j < g; ++j) {
+          if (!gt_valid[j] || !gt_crowd[j]) continue;
+          if (det_classes && det_classes[d] != gt_classes[j]) continue;
+          if (overlap(det_boxes + 4 * d, gt_boxes + 4 * j, true) >= thr) {
+            ignore[size_t(ti) * n + d] = 1;
+            break;
+          }
+        }
+      }
+    }
+  }
+}
+
+// Classic greedy NMS. Returns number of kept indices written to `keep`.
+int greedy_nms(const float* boxes, const float* scores, int n,
+               float iou_threshold, int32_t* keep) {
+  std::vector<int> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int a, int b) { return scores[a] > scores[b]; });
+  std::vector<char> suppressed(n, 0);
+  int nk = 0;
+  for (int k = 0; k < n; ++k) {
+    const int i = order[k];
+    if (suppressed[i]) continue;
+    keep[nk++] = i;
+    for (int l = k + 1; l < n; ++l) {
+      const int j = order[l];
+      if (suppressed[j]) continue;
+      if (overlap(boxes + 4 * i, boxes + 4 * j, false) > iou_threshold)
+        suppressed[j] = 1;
+    }
+  }
+  return nk;
+}
+
+}  // extern "C"

@@ -1,0 +1,72 @@
+"""Native C++ library parity vs pure-python/XLA implementations."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gossipnet_tpu import native
+from gossipnet_tpu.ops.matching import greedy_match as xla_greedy_match
+from gossipnet_tpu.ops.nms import greedy_nms_np
+from tests.conftest import random_boxes
+from tests.test_matching import _random_problem
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_lib():
+    if not native.available():
+        assert native.build(), "native build failed (g++ required)"
+        # reset the load cache after building
+        native._load_failed = False
+    assert native.available()
+
+
+def test_greedy_match_parity_with_xla(rng):
+    for _ in range(4):
+        boxes, scores, valid, gt, gt_valid, gt_crowd = _random_problem(rng)
+        thrs = np.array([0.5, 0.75], np.float32)
+        labels_c, ignore_c, matched_c = native.greedy_match(
+            boxes, scores, valid, gt, gt_valid, gt_crowd, thrs
+        )
+        res = xla_greedy_match(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            jnp.asarray(gt), jnp.asarray(gt_valid), jnp.asarray(gt_crowd),
+            jnp.asarray(thrs),
+        )
+        np.testing.assert_array_equal(labels_c, np.asarray(res.labels))
+        np.testing.assert_array_equal(ignore_c, np.asarray(res.ignore))
+        np.testing.assert_array_equal(matched_c, np.asarray(res.matched_gt))
+
+
+def test_nms_parity(rng):
+    boxes = random_boxes(rng, 200, scale=150)
+    scores = rng.uniform(0, 1, 200).astype(np.float32)
+    keep_c = native.greedy_nms(boxes, scores, 0.5)
+    keep_py = greedy_nms_np(boxes, scores, 0.5)
+    np.testing.assert_array_equal(np.sort(keep_c), np.sort(keep_py))
+
+
+def test_eval_match_drives_identical_ap(rng):
+    """COCOEvaluator stats identical with and without the native path."""
+    from gossipnet_tpu.eval import cocoeval
+    from gossipnet_tpu.data.synthetic import synthetic_roidb
+
+    roidb = synthetic_roidb(num_images=8, seed=0, crowd_prob=0.2)
+
+    def run():
+        ev = cocoeval.COCOEvaluator(num_classes=1)
+        for rec in roidb:
+            ev.add_arrays(rec.image_id, rec.det_boxes, rec.det_scores,
+                          rec.det_classes, rec.gt_boxes, rec.gt_classes,
+                          rec.gt_crowd)
+        return ev.summarize()
+
+    with_native = run()
+    # Force the numpy fallback.
+    saved = native._lib, native._load_failed
+    native._lib, native._load_failed = None, True
+    try:
+        without = run()
+    finally:
+        native._lib, native._load_failed = saved
+    for k in with_native:
+        assert np.isclose(with_native[k], without[k]), (k, with_native, without)
