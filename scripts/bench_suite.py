@@ -1,0 +1,53 @@
+"""Extended benchmark suite: N scaling, sparse vs dense tiles, training.
+
+Produces the numbers for BENCHMARKS.md (bench.py stays the single-line
+driver bench). Uses the validated device-loop methodology.
+"""
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import time, json
+from functools import partial
+import numpy as np, jax, jax.numpy as jnp
+from gossipnet_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+from __graft_entry__ import _synthetic_arrays
+from gossipnet_tpu.config import Config, ModelConfig
+from gossipnet_tpu.train import build_model
+
+rng = np.random.default_rng(7)
+
+def measure(model, params, boxes, scores, valid, k_small=10, k_large=40):
+    @partial(jax.jit, static_argnums=1)
+    def loop(s, K):
+        def body(k, s):
+            out = jax.nn.sigmoid(model.apply({"params": params}, boxes, s, valid))
+            return out + k * 1e-7
+        return jax.lax.fori_loop(0, K, body, s)
+    def run(K):
+        s0 = jnp.asarray(rng.uniform(0,1,scores.shape).astype(np.float32))
+        float(jnp.sum(loop(s0, K)))
+        s1 = jnp.asarray(rng.uniform(0,1,scores.shape).astype(np.float32))
+        t0=time.perf_counter(); v=float(jnp.sum(loop(s1, K)))
+        assert np.isfinite(v)
+        return time.perf_counter()-t0
+    ts, tl = run(k_small), run(k_large)
+    return (tl-ts)/(k_large-k_small)
+
+results = {}
+for name, mcfg, B, N in [
+    ("N=1024 sparse", ModelConfig(num_blocks=16, feature_dim=128, reduced_dim=32, pairwise_dim=32), 8, 1024),
+    ("N=1024 dense-tiles", ModelConfig(num_blocks=16, feature_dim=128, reduced_dim=32, pairwise_dim=32, block_sparse=False, sort_detections=False), 8, 1024),
+    ("N=4096 sparse (crowd stress)", ModelConfig(num_blocks=16, feature_dim=128, reduced_dim=32, pairwise_dim=32), 2, 4096),
+    ("N=4096 dense-tiles", ModelConfig(num_blocks=16, feature_dim=128, reduced_dim=32, pairwise_dim=32, block_sparse=False, sort_detections=False), 2, 4096),
+    ("N=256 sparse", ModelConfig(num_blocks=16, feature_dim=128, reduced_dim=32, pairwise_dim=32), 16, 256),
+]:
+    cfg = Config(model=mcfg)
+    model = build_model(cfg, pool_impl="pallas")
+    d = _synthetic_arrays(batch=B, n=N, seed=0)
+    boxes = jnp.asarray(d.boxes); scores = jnp.asarray(d.scores); valid = jnp.asarray(d.valid)
+    params = model.init(jax.random.key(0), boxes, scores, valid)["params"]
+    per_iter = measure(model, params, boxes, scores, valid)
+    dps = B*N/per_iter
+    results[name] = {"ms_per_fwd": round(per_iter*1e3,3), "dets_per_sec": round(dps,0), "B": B, "N": N}
+    print(name, results[name], flush=True)
+print(json.dumps(results), flush=True)
+print("DONE", flush=True)
