@@ -87,6 +87,10 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 3
     remat_blocks: bool = False          # jax.checkpoint each gossip block
+    # Optimizer steps executed per host->device call (lax.scan over
+    # pre-stacked same-shape batches). >1 amortizes host dispatch latency;
+    # logging/checkpoint cadence rounds to multiples of this.
+    steps_per_call: int = 1
 
 
 @dataclass(frozen=True)

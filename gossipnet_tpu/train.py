@@ -136,6 +136,30 @@ def train_step(state: TrainState, batch_arrays: dict, cfg: Config):
     return state.apply_gradients(grads=grads), metrics
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def train_steps_scanned(state: TrainState, stacked_arrays: dict,
+                        cfg: Config):
+    """K optimizer steps in one device call: lax.scan over a leading
+    steps axis of pre-stacked same-shape batches. Amortizes host dispatch
+    latency (the reference pays a full sess.run round trip per image;
+    here K steps cost one). Returned metrics are means over the K steps
+    (grad_norm: last step)."""
+    def one(st, arrays):
+        def loss_fn(params):
+            return loss_and_metrics(params, st.apply_fn, arrays, cfg)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(st.params)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return st.apply_gradients(grads=grads), metrics
+
+    state, metrics = jax.lax.scan(one, state, stacked_arrays)
+    out = jax.tree.map(jnp.mean, metrics)
+    out["grad_norm"] = jax.tree.map(lambda x: x[-1], metrics)["grad_norm"]
+    return state, out
+
+
 def batch_to_device(batch: Batch) -> dict:
     return {
         "boxes": jnp.asarray(batch.boxes),
@@ -202,24 +226,50 @@ def train(
 
     eval_fn = eval_fn or default_eval
 
+    spc = max(int(t.steps_per_call), 1)
+    queues: dict[int, list[Batch]] = {}
+
+    def run_group(state, group: list[Batch]):
+        if len(group) == 1:
+            return train_step(state, batch_to_device(group[0]), cfg)
+        stacked = {
+            k: jnp.asarray(np.stack([getattr(b, k) for b in group]))
+            for k in ("boxes", "scores", "valid", "classes",
+                      "gt_boxes", "gt_classes", "gt_valid", "gt_crowd")
+        }
+        return train_steps_scanned(state, stacked, cfg)
+
     while int(state.step) < max_steps:
         batch = next(it)
-        arrays = batch_to_device(batch)
-        state, metrics = train_step(state, arrays, cfg)
+        queues.setdefault(batch.padded_n, []).append(batch)
+        group = queues[batch.padded_n]
+        if len(group) < spc:
+            continue
+        queues[batch.padded_n] = []
+        state, metrics = run_group(state, group)
         step = int(state.step)
-        timer.tick(int(np.sum(batch.valid)))
+        for b in group:
+            timer.tick(int(np.sum(b.valid)))
         profiler.step(step)
 
-        if step % t.log_every == 0 or step == max_steps:
+        if step % t.log_every < spc or step >= max_steps:
             logger.log(
                 step,
                 steps_per_sec=timer.steps_per_sec,
                 dets_per_sec=timer.dets_per_sec,
                 **{k: float(v) for k, v in metrics.items()},
             )
-        if t.snapshot_every and step % t.snapshot_every == 0:
+        if t.snapshot_every and step % t.snapshot_every < spc:
+            # Flush partially-filled queues as single steps first so the
+            # saved iterator state exactly matches the trained stream
+            # (checkpoint/resume stays bit-reproducible with spc > 1).
+            for n_key in list(queues):
+                for b in queues[n_key]:
+                    state, _ = train_step(state, batch_to_device(b), cfg)
+                queues[n_key] = []
+            step = int(state.step)
             ckpt.save(step, state, {"iterator": it.get_state()})
-        if t.eval_every and step % t.eval_every == 0:
+        if t.eval_every and step % t.eval_every < spc:
             stats = eval_fn(state)
             if stats:
                 logger.log(step, **{f"val_{k}": v for k, v in stats.items()})
