@@ -299,12 +299,15 @@ def _tile_backward_core(spec: PoolSpec, colsT_ref, cols_ref, aT_ref, bT_ref,
 
 def _bwd_row_kernel(flags_ref, colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref,
                     w2T_ref, b2_ref, w2_ref, m_ref, dm_ref,
-                    da_ref, dwg_ref, dw2_ref, db2_ref, *, spec: PoolSpec):
-    """Row-gradient pass: grid (B, I, J), j innermost.
+                    da_ref, dwg_ref, dw2_ref, db2_ref, dbp_ref,
+                    *, spec: PoolSpec):
+    """Single fused backward pass: grid (B, I, J), j innermost.
 
-    Accumulates d_aT over j (block constant in j) and the weight grads
-    over the whole grid (block constant everywhere). Inactive tiles
-    (block-sparse flags) contribute nothing and skip all compute.
+    Accumulates d_aT over j (block constant in j), the weight grads over
+    the whole grid (block constant everywhere), and — instead of a second
+    transposed-grid sweep — writes PARTIAL d_bT blocks per (i, j) tile
+    (each written exactly once; XLA sums them over i afterwards).
+    Inactive tiles (block-sparse flags) skip all compute.
     """
     b_idx, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     ni, nj = pl.num_programs(1), pl.num_programs(2)
@@ -328,9 +331,9 @@ def _bwd_row_kernel(flags_ref, colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref,
             wgT_ref, w2T_ref, b2_ref, w2_ref, m_ref, dm_ref,
         )
         mm = jnp.dtype(spec.compute_dtype)
-        da_ref[0] = da_ref[0] + jnp.sum(
-            dpre1.reshape(p, ti, tj), axis=2
-        )
+        dpre1_3d = dpre1.reshape(p, ti, tj)
+        da_ref[0] = da_ref[0] + jnp.sum(dpre1_3d, axis=2)
+        dbp_ref[0, 0] = jnp.sum(dpre1_3d, axis=1)        # [P, TJ]
         # dwgT[p, k] = sum_m dpre1[p, m] g_stack[k, m] — on the MXU.
         dwg_ref[:] = dwg_ref[:] + jax.lax.dot_general(
             dpre1.astype(mm), g_stack.astype(mm),
@@ -345,27 +348,9 @@ def _bwd_row_kernel(flags_ref, colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref,
         )
         db2_ref[:] = db2_ref[:] + jnp.sum(dpre2, axis=1, keepdims=True)
 
-
-def _bwd_col_kernel(flags_ref, colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref,
-                    w2T_ref, b2_ref, w2_ref, m_ref, dm_ref, db_ref,
-                    *, spec: PoolSpec):
-    """Column-gradient pass: grid (B, J, I), i innermost; accumulates d_bT."""
-    b_idx, j, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    ni, nj = pl.num_programs(2), pl.num_programs(1)
-    p, ti, tj = spec.p, spec.ti, spec.tj
-    active = flags_ref[_flat_flag_index(b_idx, i, j, ni, nj)] > 0
-
-    @pl.when(i == 0)
+    @pl.when(jnp.logical_not(active))
     def _():
-        db_ref[0] = jnp.zeros((p, tj), jnp.float32)
-
-    @pl.when(active)
-    def _():
-        _, _, _, dpre1 = _tile_backward_core(
-            spec, colsT_ref, cols_ref, aT_ref, bT_ref,
-            wgT_ref, w2T_ref, b2_ref, w2_ref, m_ref, dm_ref,
-        )
-        db_ref[0] = db_ref[0] + jnp.sum(dpre1.reshape(p, ti, tj), axis=1)
+        dbp_ref[0, 0] = jnp.zeros((p, tj), jnp.float32)
 
 
 def _backward(spec: PoolSpec, residuals, dm):
@@ -377,6 +362,10 @@ def _backward(spec: PoolSpec, residuals, dm):
     w2 = w2T.T
     dmT = dm  # already [B, P, N]
     flags = _make_flags(spec, colsT, cols)
+    # The fused single-pass backward materializes per-row-tile partial
+    # d_bT blocks [B, NI, P, NC] = B*N^2*P/TI bytes*4 — 8 MB at the
+    # N=1024 training workload, 134 MB at N=4096*B=2; fine for the
+    # supported bucket envelope (<= 4096).
 
     row_specs = _pool_specs(spec, c_total) + [
         pl.BlockSpec((p, p), lambda b_, i, j, *_: (0, 0),
@@ -386,13 +375,14 @@ def _backward(spec: PoolSpec, residuals, dm):
         pl.BlockSpec((1, p, ti), lambda b_, i, j, *_: (b_, 0, i),
                      memory_space=pltpu.VMEM),
     ]
-    da, dwgT, dw2, db2 = pl.pallas_call(
+    da, dwgT, dw2, db2, db_part = pl.pallas_call(
         functools.partial(_bwd_row_kernel, spec=spec),
         out_shape=(
             jax.ShapeDtypeStruct((b, p, nr), jnp.float32),
             jax.ShapeDtypeStruct((p, spec.num_features), jnp.float32),
             jax.ShapeDtypeStruct((p, p), jnp.float32),
             jax.ShapeDtypeStruct((p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, ni, p, nc), jnp.float32),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -408,47 +398,16 @@ def _backward(spec: PoolSpec, residuals, dm):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((p, 1), lambda b_, i, j, *_: (0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, p, tj),
+                             lambda b_, i, j, *_: (b_, i, 0, j),
+                             memory_space=pltpu.VMEM),
             ),
         ),
         interpret=spec.interpret,
     )(flags, colsT, cols, aT, bT, wgT, w2T, b2c, w2, m, dmT)
-
-    # Column pass: transposed grid (B, J, I) — the i/j program ids swap,
-    # so index maps read (b, j, i).
-    col_specs = [
-        pl.BlockSpec((1, ti, c_total), lambda b_, j, i, *_: (b_, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, c_total, tj), lambda b_, j, i, *_: (b_, 0, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, ti), lambda b_, j, i, *_: (b_, 0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, tj), lambda b_, j, i, *_: (b_, 0, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((p, spec.num_features), lambda b_, j, i, *_: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((p, p), lambda b_, j, i, *_: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((p, 1), lambda b_, j, i, *_: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((p, p), lambda b_, j, i, *_: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, ti), lambda b_, j, i, *_: (b_, 0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, ti), lambda b_, j, i, *_: (b_, 0, i),
-                     memory_space=pltpu.VMEM),
-    ]
-    db = pl.pallas_call(
-        functools.partial(_bwd_col_kernel, spec=spec),
-        out_shape=jax.ShapeDtypeStruct((b, p, nc), jnp.float32),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b, nj, ni),
-            in_specs=col_specs,
-            out_specs=pl.BlockSpec((1, p, tj), lambda b_, j, i, *_: (b_, 0, j),
-                                   memory_space=pltpu.VMEM),
-        ),
-        interpret=spec.interpret,
-    )(flags, colsT, cols, aT, bT, wgT, w2T, b2c, w2, m, dmT)
+    # d_bT: sum the per-row-tile partials (replaces the reference-free
+    # second transposed-grid sweep; each partial was written exactly once).
+    db = jnp.sum(db_part, axis=1)
 
     # colsT/cols carry no trainable inputs (box geometry + raw scores);
     # their cotangents are zero by design — parameters get exact grads.
