@@ -182,6 +182,7 @@ def train(
     max_steps: int | None = None,
     eval_fn=None,
     profile_dir: str | None = None,
+    tb_dir: str | None = None,
 ) -> TrainState:
     """Full training loop with checkpoint/resume and periodic eval.
 
@@ -207,7 +208,7 @@ def train(
             it.set_state(host_state["iterator"])
         print(f"resumed from step {int(state.step)}", flush=True)
 
-    logger = MetricsLogger(metrics_path)
+    logger = MetricsLogger(metrics_path, tb_dir=tb_dir)
     timer = StepTimer()
     from gossipnet_tpu.utils.profiling import StepProfiler
 
@@ -296,6 +297,8 @@ def main(argv: list[str] | None = None) -> None:
                    help="default: pallas on TPU, dense elsewhere")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="dump a jax.profiler trace of steps 10-15 to DIR")
+    p.add_argument("--tensorboard", default=None, metavar="DIR",
+                   help="also mirror scalars to TensorBoard summaries")
     args = p.parse_args(argv)
 
     import jax
@@ -329,7 +332,8 @@ def main(argv: list[str] | None = None) -> None:
         )
         val = None
     train(cfg, roidb, val_roidb=val, pool_impl=pool_impl,
-          metrics_path=args.metrics, profile_dir=args.profile)
+          metrics_path=args.metrics, profile_dir=args.profile,
+          tb_dir=args.tensorboard)
 
 
 if __name__ == "__main__":

@@ -15,13 +15,27 @@ from typing import Any
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics log; one record per call."""
+    """Append-only JSONL metrics log; one record per call.
 
-    def __init__(self, path: str | Path | None, echo: bool = True):
+    Optional TensorBoard scalar mirroring (the reference's only
+    observability was tf.summary scalars): pass ``tb_dir`` and scalars
+    are also written via tf.summary if TensorFlow is importable.
+    """
+
+    def __init__(self, path: str | Path | None, echo: bool = True,
+                 tb_dir: str | Path | None = None):
         self.path = Path(path) if path else None
         self.echo = echo
+        self._tb = None
         if self.path:
             self.path.parent.mkdir(parents=True, exist_ok=True)
+        if tb_dir is not None:
+            try:
+                import tensorflow as tf  # present in the image; optional
+
+                self._tb = tf.summary.create_file_writer(str(tb_dir))
+            except Exception:
+                self._tb = None
 
     def log(self, step: int, **metrics: Any) -> None:
         rec = {"step": step, "time": time.time()}
@@ -30,6 +44,13 @@ class MetricsLogger:
         if self.path:
             with open(self.path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            with self._tb.as_default():
+                import tensorflow as tf
+
+                for k, v in rec.items():
+                    if k not in ("step", "time") and isinstance(v, float):
+                        tf.summary.scalar(k, v, step=step)
         if self.echo:
             parts = [f"step {step}"]
             parts += [
