@@ -82,6 +82,34 @@ def evaluate_model(
     return _evaluator_for(roidb, scores_by_image=rescored).summarize()
 
 
+def export_coco_results(
+    roidb: Roidb, scores_by_image: dict[int, np.ndarray], path: str,
+    score_threshold: float = 0.0,
+) -> int:
+    """Write rescored detections as COCO results JSON (the reference's
+    eval interchange format — SURVEY.md §3.2 'write COCO-format json').
+    Returns the number of exported detections."""
+    import json
+
+    results = []
+    for rec in roidb:
+        new_scores = scores_by_image[rec.image_id]
+        for i in range(rec.num_dets):
+            s = float(new_scores[i])
+            if s < score_threshold:
+                continue
+            x1, y1, x2, y2 = (float(v) for v in rec.det_boxes[i])
+            results.append({
+                "image_id": int(rec.image_id),
+                "category_id": int(roidb.cat_ids[int(rec.det_classes[i])]),
+                "bbox": [x1, y1, x2 - x1, y2 - y1],
+                "score": s,
+            })
+    with open(path, "w") as f:
+        json.dump(results, f)
+    return len(results)
+
+
 def evaluate_raw_scores(roidb: Roidb) -> dict[str, float]:
     """Baseline: rank by raw detector scores, no suppression at all."""
     return _evaluator_for(roidb).summarize()

@@ -1,0 +1,57 @@
+"""Config-5 end-to-end serving benchmark: mixed-size stream through the
+Rescorer (bucketed batches, multiple compiled shapes), host-driven.
+
+Reports wall-clock end-to-end throughput (including host batching and the
+harness's per-call RPC latency) — the pessimistic serving bound; the
+on-device bound is bench.py's number.
+"""
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import json, time
+import numpy as np
+from gossipnet_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+from gossipnet_tpu.api import Rescorer
+from gossipnet_tpu.config import Config, DataConfig, ModelConfig
+from gossipnet_tpu.data.synthetic import synthetic_record
+from gossipnet_tpu.train import build_model
+import jax
+
+cfg = Config(
+    model=ModelConfig(num_blocks=16, feature_dim=128, reduced_dim=32,
+                      pairwise_dim=32),
+    data=DataConfig(bucket_sizes=(256, 512, 1024)),
+)
+rng = np.random.default_rng(0)
+# mixed-size stream: small/medium/large images
+images = []
+for i in range(96):
+    n_gt = int(rng.choice([16, 40, 100]))
+    rec = synthetic_record(rng, i, num_gt=n_gt, dets_per_gt=7,
+                           num_clutter=n_gt)
+    images.append((rec.det_boxes, rec.det_scores, None))
+sizes = [len(s) for _, s, _ in images]
+print(f"{len(images)} images, dets per image min/med/max: "
+      f"{min(sizes)}/{int(np.median(sizes))}/{max(sizes)}", flush=True)
+
+model = build_model(cfg, pool_impl="pallas")
+import jax.numpy as jnp
+b0, s0, _ = images[0]
+params = model.init(jax.random.key(0),
+                    jnp.asarray(b0[None]), jnp.asarray(s0[None]),
+                    jnp.ones((1, len(s0)), bool))["params"]
+rescorer = Rescorer(cfg, params, pool_impl="pallas")
+
+# warm all bucket shapes
+rescorer.rescore_batch(images, batch_size=8)
+t0 = time.perf_counter()
+outs = rescorer.rescore_batch(images, batch_size=8)
+dt = time.perf_counter() - t0
+total = sum(sizes)
+print(json.dumps({
+    "metric": "end-to-end serving stream (mixed buckets, host-driven)",
+    "images": len(images), "detections": total,
+    "wall_s": round(dt, 3),
+    "images_per_sec": round(len(images)/dt, 1),
+    "dets_per_sec": round(total/dt, 1),
+}), flush=True)
+print("DONE", flush=True)
