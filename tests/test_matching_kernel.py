@@ -1,0 +1,61 @@
+"""Pallas matching-scan kernel parity vs the XLA lax.scan path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gossipnet_tpu.ops.matching import greedy_match, greedy_match_batch
+from tests.test_matching import _random_problem
+
+
+def _compare(rng, thrs, **kw):
+    boxes, scores, valid, gt, gt_valid, gt_crowd = _random_problem(rng, **kw)
+    args = (
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+        jnp.asarray(gt), jnp.asarray(gt_valid), jnp.asarray(gt_crowd),
+        jnp.asarray(thrs),
+    )
+    a = greedy_match(*args, impl="scan")
+    b = greedy_match(*args, impl="pallas")
+    np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
+    np.testing.assert_array_equal(np.asarray(a.ignore), np.asarray(b.ignore))
+    np.testing.assert_array_equal(
+        np.asarray(a.matched_gt), np.asarray(b.matched_gt)
+    )
+
+
+def test_kernel_parity_random(rng):
+    for trial in range(4):
+        _compare(rng, [0.5])
+
+
+def test_kernel_parity_multithreshold(rng):
+    _compare(rng, np.round(np.arange(0.5, 1.0, 0.05), 2), n=64, g=16)
+
+
+def test_kernel_parity_crowded(rng):
+    _compare(rng, [0.5, 0.75], n=96, g=24, crowd_frac=0.4)
+
+
+def test_kernel_parity_batched(rng):
+    probs = [_random_problem(rng) for _ in range(3)]
+    stack = [jnp.asarray(np.stack([p[k] for p in probs])) for k in range(6)]
+    thrs = jnp.asarray([0.5, 0.75])
+    a = greedy_match_batch(*stack, thrs, impl="scan")
+    b = greedy_match_batch(*stack, thrs, impl="pallas")
+    np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
+    np.testing.assert_array_equal(
+        np.asarray(a.matched_gt), np.asarray(b.matched_gt)
+    )
+
+
+def test_kernel_parity_under_jit(rng):
+    boxes, scores, valid, gt, gt_valid, gt_crowd = _random_problem(rng)
+    args = (
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+        jnp.asarray(gt), jnp.asarray(gt_valid), jnp.asarray(gt_crowd),
+        jnp.asarray([0.5]),
+    )
+    a = jax.jit(lambda *a: greedy_match(*a, impl="scan"))(*args)
+    b = jax.jit(lambda *a: greedy_match(*a, impl="pallas"))(*args)
+    np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
