@@ -183,6 +183,58 @@ def greedy_match(
     return MatchResult(labels=labels, ignore=ignore, matched_gt=matched_gt)
 
 
+def _greedy_match_batched_pallas(
+    boxes, scores, valid, gt_boxes, gt_valid, gt_crowd, thresholds,
+    det_classes=None, gt_classes=None,
+) -> MatchResult:
+    """Batched matching with the whole-batch Pallas greedy kernel.
+
+    All B problems advance together inside ONE kernel (a vmap of the
+    unbatched kernel would serialize B over the grid). Pre/post
+    processing mirrors :func:`greedy_match` with a leading batch axis.
+    Requires thresholds > 0 (exclusions fold into zeroed IoU).
+    """
+    from gossipnet_tpu.ops.pallas.matching_kernel import (
+        greedy_scan_pallas_batched,
+    )
+
+    bsz, n = scores.shape
+    thresholds = jnp.asarray(thresholds, jnp.float32)
+    iou = jax.vmap(pairwise_iou)(boxes, gt_boxes)          # [B, N, G]
+    iof = jax.vmap(pairwise_iof)(boxes, gt_boxes)
+    real_gt = gt_valid & ~gt_crowd                         # [B, G]
+    crowd_gt = gt_valid & gt_crowd
+    if det_classes is not None and gt_classes is not None:
+        same = det_classes[:, :, None] == gt_classes[:, None, :]
+        iou = jnp.where(same, iou, 0.0)
+        iof = jnp.where(same, iof, 0.0)
+    crowd_overlap = jnp.where(crowd_gt[:, None, :], iof, 0.0)
+    max_crowd = jnp.max(crowd_overlap, axis=2, initial=0.0)  # [B, N]
+
+    sort_key = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-sort_key, axis=-1)                # [B, N]
+    iou_sorted = jnp.take_along_axis(iou, order[..., None], axis=1)
+    valid_sorted = jnp.take_along_axis(valid, order, axis=1)
+    iou_masked = (
+        iou_sorted
+        * valid_sorted[..., None].astype(iou.dtype)
+        * real_gt[:, None, :].astype(iou.dtype)
+    )
+    matched_s, best_s = greedy_scan_pallas_batched(iou_masked, thresholds)
+    inv = jnp.argsort(order, axis=-1)
+    matched = jnp.take_along_axis(matched_s, inv[..., None], axis=1)
+    best = jnp.take_along_axis(best_s, inv[..., None], axis=1)
+    matched = jnp.swapaxes(matched, 1, 2)                  # [B, T, N]
+    matched_gt = jnp.swapaxes(best, 1, 2).astype(jnp.int32)
+
+    labels = matched.astype(jnp.float32)
+    crowd_ignore = (~matched) & (
+        max_crowd[:, None, :] >= thresholds[None, :, None]
+    )
+    ignore = (~valid)[:, None, :] | crowd_ignore
+    return MatchResult(labels=labels, ignore=ignore, matched_gt=matched_gt)
+
+
 def greedy_match_batch(
     boxes: Array,
     scores: Array,
@@ -195,14 +247,29 @@ def greedy_match_batch(
     gt_classes: Array | None = None,
     impl: str | None = None,
 ) -> MatchResult:
-    """vmap of :func:`greedy_match` over a leading batch axis -> [B, T, N]."""
+    """Batched matching -> [B, T, N].
+
+    impl: None = batched Pallas kernel on TPU (the whole batch advances
+    inside one kernel; ~3x the vmapped scan), scan elsewhere;
+    'scan' | 'pallas' force a path.
+    """
+    if impl is None:
+        try:
+            impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+        except Exception:
+            impl = "scan"
+    if impl == "pallas":
+        return _greedy_match_batched_pallas(
+            boxes, scores, valid, gt_boxes, gt_valid, gt_crowd,
+            thresholds, det_classes, gt_classes,
+        )
     if det_classes is None:
         fn = lambda b, s, v, gb, gv, gc: greedy_match(  # noqa: E731
-            b, s, v, gb, gv, gc, thresholds, impl=impl
+            b, s, v, gb, gv, gc, thresholds, impl="scan"
         )
         return jax.vmap(fn)(boxes, scores, valid, gt_boxes, gt_valid, gt_crowd)
     fn = lambda b, s, v, gb, gv, gc, dc, gcl: greedy_match(  # noqa: E731
-        b, s, v, gb, gv, gc, thresholds, dc, gcl, impl=impl
+        b, s, v, gb, gv, gc, thresholds, dc, gcl, impl="scan"
     )
     return jax.vmap(fn)(
         boxes, scores, valid, gt_boxes, gt_valid, gt_crowd,

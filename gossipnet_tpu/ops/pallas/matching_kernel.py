@@ -107,3 +107,87 @@ def greedy_scan_pallas(
         interpret=bool(interpret),
     )(iou_masked.astype(jnp.float32), thr_col)
     return matched_tn.T[:n] > 0.5, best_tn.T[:n]
+
+
+def _kernel_batched(iou_ref, thr_ref, matched_ref, best_ref, taken_ref, *,
+                    b: int, n: int, g: int, t: int):
+    # iou_ref: [B, N, G]; thr_ref: [T, 1]; matched_ref: [B, T, N] f32;
+    # best_ref: [B, T, N] i32; taken_ref: [B, T, G] f32.
+    # All B problems advance together each step (the serial dependency is
+    # only within a problem), so per-step work stays fully vectorized —
+    # this is what vmap-of-pallas_call cannot do (it serializes B over
+    # the grid).
+    taken_ref[:] = jnp.zeros((b, t, g), jnp.float32)
+    gt_idx = jax.lax.broadcasted_iota(jnp.int32, (b, t, g), 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, t, 128), 2)
+    thr = thr_ref[:][None, :, :]                         # [1, T, 1]
+
+    def outer(bi, _):
+        base = pl.multiple_of(bi * 128, 128)
+
+        def inner(j, carry):
+            mblk, bblk = carry
+            row = iou_ref[:, pl.ds(base + j, 1), :]      # [B, 1, G]
+            elig = (row >= thr) & (taken_ref[:] < 0.5)   # [B, T, G]
+            cand = jnp.where(elig, row, NEG_ONE)
+            mx = jnp.max(cand, axis=2, keepdims=True)    # [B, T, 1]
+            matched = mx > NEG_ONE
+            win = elig & (cand == mx)
+            first = jnp.min(jnp.where(win, gt_idx, g), axis=2,
+                            keepdims=True)
+            take = matched & (gt_idx == first)
+            taken_ref[:] = jnp.maximum(
+                taken_ref[:], take.astype(jnp.float32)
+            )
+            sel = lane == j
+            mblk = jnp.where(sel & matched, 1.0, mblk)
+            bblk = jnp.where(sel, jnp.where(matched, first, -1), bblk)
+            return mblk, bblk
+
+        mblk, bblk = jax.lax.fori_loop(
+            0, 128, inner,
+            (jnp.zeros((b, t, 128), jnp.float32),
+             jnp.full((b, t, 128), -1, jnp.int32)),
+        )
+        matched_ref[:, :, pl.ds(base, 128)] = mblk
+        best_ref[:, :, pl.ds(base, 128)] = bblk
+        return 0
+
+    jax.lax.fori_loop(0, n // 128, outer, 0)
+
+
+def greedy_scan_pallas_batched(
+    iou_masked: Array,       # [B, N, G] f32, pre-masked
+    thresholds: Array,       # [T] f32, all > 0
+    interpret: bool | None = None,
+) -> tuple[Array, Array]:
+    """Batched greedy pass -> (matched [B, N, T] bool, best [B, N, T])."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, g = iou_masked.shape
+    n_pad = ((n + 127) // 128) * 128
+    if n_pad != n:
+        iou_masked = jnp.pad(iou_masked, ((0, 0), (0, n_pad - n), (0, 0)))
+    t = thresholds.shape[0]
+    thr_col = thresholds.astype(jnp.float32)[:, None]
+    matched_btn, best_btn = pl.pallas_call(
+        functools.partial(_kernel_batched, b=b, n=n_pad, g=g, t=t),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, t, n_pad), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((b, t, g), jnp.float32)],
+        interpret=bool(interpret),
+    )(iou_masked.astype(jnp.float32), thr_col)
+    return (
+        jnp.swapaxes(matched_btn, 1, 2)[:, :n] > 0.5,
+        jnp.swapaxes(best_btn, 1, 2)[:, :n],
+    )

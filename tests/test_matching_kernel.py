@@ -44,9 +44,24 @@ def test_kernel_parity_batched(rng):
     a = greedy_match_batch(*stack, thrs, impl="scan")
     b = greedy_match_batch(*stack, thrs, impl="pallas")
     np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
+    np.testing.assert_array_equal(np.asarray(a.ignore), np.asarray(b.ignore))
     np.testing.assert_array_equal(
         np.asarray(a.matched_gt), np.asarray(b.matched_gt)
     )
+
+
+def test_kernel_parity_batched_classaware(rng):
+    probs = [_random_problem(rng) for _ in range(2)]
+    stack = [jnp.asarray(np.stack([p[k] for p in probs])) for k in range(6)]
+    rng2 = np.random.default_rng(5)
+    det_classes = jnp.asarray(rng2.integers(0, 3, size=stack[1].shape))
+    gt_classes = jnp.asarray(rng2.integers(0, 3, size=stack[4].shape))
+    thrs = jnp.asarray([0.5])
+    a = greedy_match_batch(*stack, thrs, det_classes, gt_classes, impl="scan")
+    b = greedy_match_batch(*stack, thrs, det_classes, gt_classes,
+                           impl="pallas")
+    np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
+    np.testing.assert_array_equal(np.asarray(a.ignore), np.asarray(b.ignore))
 
 
 def test_kernel_parity_under_jit(rng):
