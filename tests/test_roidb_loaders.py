@@ -1,0 +1,97 @@
+"""COCO-format loader tests with handcrafted annotation/result fixtures."""
+
+import json
+
+import numpy as np
+
+from gossipnet_tpu.data.roidb import build_roidb
+from gossipnet_tpu.evaluate import export_coco_results, evaluate_raw_scores
+
+
+def _write_fixture(tmp_path, person_only=True):
+    ann = {
+        "images": [{"id": 1}, {"id": 2}, {"id": 3}],
+        "categories": [
+            {"id": 1, "name": "person"},
+            {"id": 17, "name": "cat"},
+        ],
+        "annotations": [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 40, 80],
+             "iscrowd": 0},
+            {"image_id": 1, "category_id": 1, "bbox": [100, 20, 45, 90],
+             "iscrowd": 0},
+            {"image_id": 1, "category_id": 1, "bbox": [200, 0, 150, 100],
+             "iscrowd": 1},
+            {"image_id": 2, "category_id": 17, "bbox": [5, 5, 30, 30],
+             "iscrowd": 0},
+        ],
+    }
+    dets = [
+        {"image_id": 1, "category_id": 1, "bbox": [11, 12, 38, 78],
+         "score": 0.9},
+        {"image_id": 1, "category_id": 1, "bbox": [99, 22, 44, 88],
+         "score": 0.8},
+        {"image_id": 1, "category_id": 1, "bbox": [12, 14, 40, 80],
+         "score": 0.7},     # duplicate of the first person
+        {"image_id": 1, "category_id": 17, "bbox": [0, 0, 10, 10],
+         "score": 0.6},     # cat det, dropped in person_only mode
+        {"image_id": 2, "category_id": 17, "bbox": [6, 6, 28, 28],
+         "score": 0.95},
+        {"image_id": 3, "category_id": 1, "bbox": [1, 1, 20, 20],
+         "score": 0.5},     # image with no GT
+    ]
+    ann_file = tmp_path / "ann.json"
+    det_file = tmp_path / "dets.json"
+    ann_file.write_text(json.dumps(ann))
+    det_file.write_text(json.dumps(dets))
+    return str(ann_file), str(det_file)
+
+
+def test_build_roidb_person_only(tmp_path):
+    ann, det = _write_fixture(tmp_path)
+    db = build_roidb(ann, det, person_only=True)
+    assert db.num_classes == 1 and db.cat_ids == [1]
+    by_id = {r.image_id: r for r in db.records}
+    assert set(by_id) == {1, 3}          # image 2 has only a cat det
+    r1 = by_id[1]
+    assert r1.num_dets == 3              # cat detection dropped
+    # xywh -> xyxy conversion on both dets and GT
+    np.testing.assert_allclose(r1.det_boxes[0], [11, 12, 49, 90])
+    np.testing.assert_allclose(r1.gt_boxes[0], [10, 10, 50, 90])
+    assert r1.gt_crowd.tolist() == [False, False, True]
+    # scores sorted by capping path preserve input order here
+    np.testing.assert_allclose(r1.det_scores, [0.9, 0.8, 0.7], rtol=1e-6)
+
+
+def test_build_roidb_multiclass_and_eval(tmp_path):
+    ann, det = _write_fixture(tmp_path)
+    db = build_roidb(ann, det, person_only=False)
+    assert db.num_classes == 2 and db.cat_ids == [1, 17]
+    stats = evaluate_raw_scores(db)
+    assert 0.0 <= stats["AP"] <= 1.0
+    # the cat image is perfectly detected -> AP50 for cat should be high
+    assert stats["AP50"] > 0.4
+
+
+def test_build_roidb_max_dets_cap(tmp_path):
+    ann, det = _write_fixture(tmp_path)
+    db = build_roidb(ann, det, person_only=True, max_dets=2)
+    r1 = {r.image_id: r for r in db.records}[1]
+    assert r1.num_dets == 2
+    np.testing.assert_allclose(r1.det_scores, [0.9, 0.8], rtol=1e-6)
+
+
+def test_export_coco_results_roundtrip(tmp_path):
+    ann, det = _write_fixture(tmp_path)
+    db = build_roidb(ann, det, person_only=True)
+    rescored = {r.image_id: np.linspace(0.9, 0.1, r.num_dets)
+                for r in db.records}
+    out = tmp_path / "results.json"
+    n = export_coco_results(db, rescored, str(out), score_threshold=0.2)
+    results = json.loads(out.read_text())
+    assert n == len(results)
+    assert all(r["score"] >= 0.2 for r in results)
+    assert all(r["category_id"] == 1 for r in results)
+    # re-load the exported file as a detection source: format closes
+    db2 = build_roidb(ann, str(out), person_only=True, skip_empty=True)
+    assert len(db2) >= 1
