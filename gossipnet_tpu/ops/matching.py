@@ -77,10 +77,12 @@ def greedy_match(
       det_classes: optional [N] int class ids — when given with gt_classes,
                    matching is class-aware (multi-class GossipNet).
       gt_classes:  optional [G] int class ids.
-      impl:        'scan' (XLA lax.scan), 'pallas' (VMEM-resident kernel,
-                   ~3x faster on TPU), or None = pallas on TPU when all
-                   thresholds > 0, else scan. Both are exact and
-                   tie-break identically (parity-tested).
+      impl:        'scan' (XLA lax.scan; the unbatched default) or
+                   'pallas' (VMEM-resident kernel; requires thresholds
+                   > 0). Both are exact and tie-break identically
+                   (parity-tested). Batched callers should prefer
+                   :func:`greedy_match_batch`, whose TPU default is the
+                   batched kernel (4.7x the vmapped scan).
 
     Returns:
       MatchResult with arrays of shape [T, N].
