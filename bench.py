@@ -70,9 +70,13 @@ def main() -> None:
         assert np.isfinite(checksum)
         return time.perf_counter() - t0
 
-    t_small = run(k_small)
-    t_large = run(k_large)
-    per_iter = (t_large - t_small) / (k_large - k_small)
+    # Repeat the marginal measurement and keep the best estimate: the
+    # shared remote chip shows run-to-run variance, and the fastest
+    # observation is the least contended one.
+    per_iter = min(
+        (run(k_large) - run(k_small)) / (k_large - k_small)
+        for _ in range(3)
+    )
     dets_per_sec = batch * n / per_iter
 
     print(json.dumps({
