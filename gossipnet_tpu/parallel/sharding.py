@@ -71,6 +71,54 @@ def _sharded_loss(params, arrays, cfg: Config, n_det: int, interpret):
     return weighted_logistic_loss(logits, match, cfg.loss)
 
 
+def _local_grads(params, arrays, cfg: Config, n_det: int, interpret):
+    """Per-rank value_and_grad + cross-rank reduction -> replicated grads.
+
+    Every 'det' rank computes the FULL loss from the all-gathered logits
+    (parallel/spmd.py), so reverse-mode AD through the all_gather
+    (transpose = psum_scatter) already sums the cotangents of all n_det
+    identical loss copies: each rank's raw grad is d(n_det * L)/dtheta
+    restricted to its local compute. The correct closure over 'det' is
+    therefore pmean — psum would double-count by another factor of n_det
+    (total n_det^2/n_det = n_det overscale, verified empirically at
+    n_det=2; see tests/test_sharding.py::test_sharded_raw_grads_match_local).
+    """
+    def loss_fn(p):
+        return _sharded_loss(p, arrays, cfg, n_det, interpret)
+
+    (loss, metrics), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params)
+    if n_det > 1:
+        grads = jax.lax.pmean(grads, DET_AXIS)
+    grads = jax.lax.pmean(grads, DATA_AXIS)
+    metrics = jax.lax.pmean(metrics, DATA_AXIS)
+    return grads, metrics
+
+
+def make_sharded_grads(
+    cfg: Config, mesh: Mesh, interpret: bool | None = None,
+):
+    """Returns jitted (params, arrays) -> (grads, metrics) over the mesh.
+
+    grads are the exact gradients of the global batch-mean loss
+    (replicated on every device) — bit-comparable against the
+    single-device ``jax.grad`` of the same loss. Exposed so optimizers
+    with scale-sensitive behavior (SGD, grad clipping, weight decay) and
+    the grad_norm metric see correctly-scaled gradients under
+    det-sharding.
+    """
+    n_det = mesh.shape[DET_AXIS]
+    sharded = jax.shard_map(
+        partial(_local_grads, cfg=cfg, n_det=n_det, interpret=interpret),
+        mesh=mesh,
+        in_specs=(P(), _batch_specs()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_train_step(
     cfg: Config, mesh: Mesh, tx: optax.GradientTransformation,
     interpret: bool | None = None,
@@ -80,22 +128,12 @@ def make_sharded_train_step(
 
     Parameters and optimizer state are replicated; batches shard over
     'data'; the pair stage shards over 'det'. Gradients close with
-    psum('det') (shard contributions partition every parameter gradient —
-    see parallel/spmd.py) and pmean('data').
+    pmean over both axes (see _local_grads for why 'det' is a mean).
     """
     n_det = mesh.shape[DET_AXIS]
 
     def local_step(params, opt_state, arrays):
-        def loss_fn(p):
-            return _sharded_loss(p, arrays, cfg, n_det, interpret)
-
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
-        if n_det > 1:
-            grads = jax.lax.psum(grads, DET_AXIS)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        grads, metrics = _local_grads(params, arrays, cfg, n_det, interpret)
         metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -8,9 +8,11 @@ all-gather of the reduced per-detection state per block riding ICI
 (N x 32 floats — negligible next to the N^2/shards tile compute).
 
 Every per-detection tensor (c, r, logits) lives row-sharded; the only
-replicated work is the parameter-free matching/loss outside. Consequently
-every parameter gradient is a pure sum of per-shard contributions, so the
-train step closes with a single psum over ('data', 'det').
+replicated work is the parameter-free matching/loss outside. Because each
+'det' rank evaluates the FULL loss on the gathered logits, AD through the
+all_gathers (transpose: psum_scatter) already sums cotangents across
+ranks — the train step therefore closes with pmean over ('data', 'det'),
+not psum (see parallel/sharding.py::_local_grads).
 
 This is a functional mirror of models/gossipnet.py's module using the
 SAME parameter tree (param names = module submodule names); parity with

@@ -12,7 +12,8 @@ from gossipnet_tpu.data.bucketing import BatchIterator
 from gossipnet_tpu.data.synthetic import synthetic_roidb
 from gossipnet_tpu.models.gossipnet import GossipNet
 from gossipnet_tpu.parallel.sharding import (
-    make_mesh, make_sharded_inference, make_sharded_train_step,
+    make_mesh, make_sharded_grads, make_sharded_inference,
+    make_sharded_train_step,
 )
 from gossipnet_tpu.parallel.spmd import gossipnet_sharded_forward
 from gossipnet_tpu.train import (
@@ -112,6 +113,39 @@ def test_sharded_train_step_matches_local():
     for x, y in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=5e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize("n_data,n_det", [(1, 2), (2, 2), (4, 1)])
+def test_sharded_raw_grads_match_local(n_data, n_det):
+    """RAW gradients (pre-optimizer) under det-sharding == local grads.
+
+    Guards the pmean-over-'det' closure (ADVICE r1, high): the all_gather
+    transpose already sums cotangents across det ranks, so a psum there
+    overscales every gradient by n_det — invisible to Adam (scale
+    invariant) but wrong for SGD/adamw/grad-clip and the grad_norm
+    metric. This test compares gradients, not Adam-updated params.
+    """
+    import jax
+
+    from gossipnet_tpu.train import loss_and_metrics
+
+    cfg = _cfg()
+    model, state, arrays = _setup(cfg)
+    mesh = make_mesh(n_data=n_data, n_det=n_det,
+                     devices=jax.devices()[: n_data * n_det])
+    grad_fn = make_sharded_grads(cfg, mesh, interpret=True)
+    grads, metrics = grad_fn(state.params, arrays)
+
+    def local_loss(p):
+        loss, _ = loss_and_metrics(p, model.apply, arrays, cfg)
+        return loss
+
+    ref_grads = jax.grad(local_loss)(state.params)
+    flat_a, _ = jax.tree.flatten(grads)
+    flat_b, _ = jax.tree.flatten(ref_grads)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=5e-4, atol=5e-6)
 
 
 def test_sharded_forward_multiclass():
