@@ -43,6 +43,10 @@ class Batch(NamedTuple):
     def padded_n(self) -> int:
         return self.boxes.shape[1]
 
+    @property
+    def padded_g(self) -> int:
+        return self.gt_boxes.shape[1]
+
 
 def bucket_for(n: int, bucket_sizes: Sequence[int]) -> int:
     """Smallest bucket >= n (largest bucket if none fits — caller should

@@ -228,7 +228,10 @@ def train(
     eval_fn = eval_fn or default_eval
 
     spc = max(int(t.steps_per_call), 1)
-    queues: dict[int, list[Batch]] = {}
+    # Queues key on BOTH padded shapes: batches in the same detection
+    # bucket can carry different padded_g (gt padding rounds to gt_align
+    # multiples per batch), and np.stack needs a single static shape.
+    queues: dict[tuple[int, int], list[Batch]] = {}
 
     def run_group(state, group: list[Batch]):
         if len(group) == 1:
@@ -240,13 +243,27 @@ def train(
         }
         return train_steps_scanned(state, stacked, cfg)
 
-    while int(state.step) < max_steps:
+    def flush_queues(state):
+        """Train every queued batch as single steps (deterministic order)
+        so the iterator state always matches the trained stream — run
+        before every checkpoint save and at max_steps (no tail-drop)."""
+        for key in sorted(queues):
+            for b in queues[key]:
+                state, _ = train_step(state, batch_to_device(b), cfg)
+            queues[key] = []
+        return state
+
+    def planned_steps() -> int:
+        return int(state.step) + sum(len(v) for v in queues.values())
+
+    while planned_steps() < max_steps:
         batch = next(it)
-        queues.setdefault(batch.padded_n, []).append(batch)
-        group = queues[batch.padded_n]
+        key = (batch.padded_n, batch.padded_g)
+        queues.setdefault(key, []).append(batch)
+        group = queues[key]
         if len(group) < spc:
             continue
-        queues[batch.padded_n] = []
+        queues[key] = []
         state, metrics = run_group(state, group)
         step = int(state.step)
         for b in group:
@@ -261,13 +278,7 @@ def train(
                 **{k: float(v) for k, v in metrics.items()},
             )
         if t.snapshot_every and step % t.snapshot_every < spc:
-            # Flush partially-filled queues as single steps first so the
-            # saved iterator state exactly matches the trained stream
-            # (checkpoint/resume stays bit-reproducible with spc > 1).
-            for n_key in list(queues):
-                for b in queues[n_key]:
-                    state, _ = train_step(state, batch_to_device(b), cfg)
-                queues[n_key] = []
+            state = flush_queues(state)
             step = int(state.step)
             ckpt.save(step, state, {"iterator": it.get_state()})
         if t.eval_every and step % t.eval_every < spc:
@@ -277,6 +288,10 @@ def train(
                 if "AP" in stats:
                     ckpt.maybe_save_best(stats["AP"], state)
 
+    # Tail: batches already drawn from the iterator but still queued
+    # train as single steps before the final save, so exactly max_steps
+    # batches train and resume state matches the trained stream.
+    state = flush_queues(state)
     profiler.close()
     ckpt.save(int(state.step), state, {"iterator": it.get_state()})
     ckpt.close()
