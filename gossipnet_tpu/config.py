@@ -24,8 +24,13 @@ class ModelConfig:
     feature_dim: int = 128        # per-detection state width c_i
     reduced_dim: int = 32         # reduced width r_i inside a block
     pairwise_dim: int = 32        # pair MLP width
-    pair_hidden_layers: int = 2   # FCs applied to [r_i; r_j; g_ij]
-    expand_hidden_layers: int = 2  # FCs applied to pooled m_i before residual
+    # FCs applied to the pooled m_i before the residual add: the first
+    # expand_hidden_layers-1 are relu FCs of width pairwise_dim, the last
+    # maps to feature_dim (paper default: 2 total). NB the PAIR MLP depth
+    # is fixed at 2 by design: the fused Pallas kernel and its custom VJP
+    # are built around the split form a_i + b_j + g@Wg -> FC2 (see
+    # ops/pallas/pairwise.py) and the paper uses exactly two pair FCs.
+    expand_hidden_layers: int = 2
     neighbor_iou: float = 0.2     # pair set: IoU(b_i, b_j) >= 0.2, incl. self
     num_classes: int = 1          # 1 = class-agnostic (COCO persons); 81 etc.
     class_embed_dim: int = 32     # class embedding width (multi-class only)
@@ -65,7 +70,13 @@ class LossConfig:
 
     pos_weight_mode: str = "balanced"  # 'balanced' | 'fixed' | 'none'
     fixed_pos_weight: float = 1.0
-    normalize: str = "valid"           # divide by: 'valid' count | 'batch'
+    # 'per_image': weights normalize within each image, images contribute
+    # equally (the batched default). 'per_batch': the whole batch pools
+    # into one weighting problem — pos/neg balance computed across
+    # images, so detection-heavy images contribute more; this matches
+    # the reference's 1-image-per-step regime where no distinction
+    # exists (reference: nms_net/network.py loss subgraph).
+    normalize: str = "per_image"
 
 
 @dataclass(frozen=True)

@@ -15,8 +15,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import Array
 
-from gossipnet_tpu.config import LossConfig
-from gossipnet_tpu.ops.matching import MatchResult
+import jax
+
+from gossipnet_tpu.config import Config, LossConfig
+from gossipnet_tpu.ops.matching import MatchResult, greedy_match_batch
 
 
 def detection_weights(
@@ -64,8 +66,20 @@ def weighted_logistic_loss(
       logits: ``[..., N]`` raw rescoring logits (batch dims optional).
       match:  MatchResult with ``[..., T, N]`` labels/ignore.
     """
-    labels = match.labels                       # [..., T, N]
-    weights = detection_weights(labels, match.ignore, cfg)
+    labels, ignore = match.labels, match.ignore     # [..., T, N]
+    if cfg.normalize == "per_batch" and labels.ndim == 3:
+        # Pool the batch into one weighting problem: [B, T, N] ->
+        # [T, B*N]. pos/neg balance then spans images, like the
+        # reference's single-image steps scaled up.
+        t = labels.shape[1]
+        labels = jnp.moveaxis(labels, 0, 1).reshape(t, -1)
+        ignore = jnp.moveaxis(ignore, 0, 1).reshape(t, -1)
+        logits = logits.reshape(-1)
+        match = MatchResult(labels=labels, ignore=ignore,
+                            matched_gt=match.matched_gt)
+    elif cfg.normalize not in ("per_image", "per_batch"):
+        raise ValueError(f"unknown LossConfig.normalize: {cfg.normalize!r}")
+    weights = detection_weights(labels, ignore, cfg)
     y = 2.0 * labels - 1.0                      # {-1, +1}
     z = y * logits[..., None, :]                # broadcast over thresholds
     # log(1 + exp(-z)) computed stably.
@@ -80,3 +94,36 @@ def weighted_logistic_loss(
         "num_pos": jnp.sum(labels * active),
     }
     return loss, metrics
+
+
+def matching_loss(
+    logits: Array, batch_arrays: dict, cfg: Config
+) -> tuple[Array, dict[str, Array]]:
+    """Shared loss tail: greedy matching on the CURRENT logits + weighted
+    logistic loss. Used by both the local train step (train.py) and the
+    det-sharded step (parallel/sharding.py) so every MatchingConfig /
+    LossConfig knob behaves identically on both paths.
+
+    ``MatchingConfig.crowd_as_ignore``: True (pycocotools semantics, the
+    default) leaves crowd GTs in matching as ignore regions — unmatched
+    detections covered by a crowd get zero loss weight. False removes
+    crowd GTs entirely, so those detections train as plain negatives.
+    """
+    m = cfg.matching
+    gt_valid = batch_arrays["gt_valid"]
+    gt_crowd = batch_arrays["gt_crowd"]
+    if not m.crowd_as_ignore:
+        gt_valid = gt_valid & ~gt_crowd
+        gt_crowd = jnp.zeros_like(gt_crowd)
+    match = greedy_match_batch(
+        batch_arrays["boxes"],
+        jax.lax.stop_gradient(logits),
+        batch_arrays["valid"],
+        batch_arrays["gt_boxes"],
+        gt_valid,
+        gt_crowd,
+        jnp.asarray(m.thresholds, jnp.float32),
+        det_classes=batch_arrays["classes"] if m.class_aware else None,
+        gt_classes=batch_arrays["gt_classes"] if m.class_aware else None,
+    )
+    return weighted_logistic_loss(logits, match, cfg.loss)

@@ -129,7 +129,14 @@ class GossipBlock(nn.Module):
         b = r @ params.wb
         m = pool_fn(params, a, b, pool_inputs)
 
-        e = jax.nn.relu(nn.Dense(cfg.pairwise_dim, name="expand")(m))
+        # Expand stack: expand_hidden_layers-1 relu FCs of width P, then
+        # the linear map back to feature_dim (default 2 total = the
+        # paper's FC(FC(m))). Names keep 'expand'/'expand_out' so
+        # default-depth checkpoints are unaffected.
+        e = m
+        for i in range(cfg.expand_hidden_layers - 1):
+            name = "expand" if i == 0 else f"expand_h{i}"
+            e = jax.nn.relu(nn.Dense(cfg.pairwise_dim, name=name)(e))
         delta = nn.Dense(cfg.feature_dim, name="expand_out")(e)
         return c + delta
 
@@ -143,10 +150,14 @@ class GossipNet(nn.Module):
 
     ``pool_impl``: 'dense' materializes the pair tensor (small N / tests);
     'pallas' streams it tile-wise (ops/pallas/pairwise.py).
+    ``remat``: rematerialize each gossip block on the backward pass
+    (jax.checkpoint) — trades recompute for activation memory, the
+    headroom knob for N=4096 training (TrainConfig.remat_blocks).
     """
 
     cfg: ModelConfig
     pool_impl: str = "dense"
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -247,8 +258,12 @@ class GossipNet(nn.Module):
             raise ValueError(f"unknown pool_impl: {self.pool_impl!r}")
 
         # --- stacked blocks ---
+        block_cls = GossipBlock
+        if self.remat:
+            # pool_fn is a plain function (not a pytree) -> static arg.
+            block_cls = nn.remat(GossipBlock, static_argnums=(3,))
         for k in range(cfg.num_blocks):
-            c = GossipBlock(cfg, num_g, name=f"block_{k}")(
+            c = block_cls(cfg, num_g, name=f"block_{k}")(
                 c, pool_inputs, pool_fn
             )
 

@@ -21,14 +21,12 @@ from functools import partial
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gossipnet_tpu.config import Config
-from gossipnet_tpu.losses import weighted_logistic_loss
-from gossipnet_tpu.ops.matching import greedy_match_batch
+from gossipnet_tpu.losses import matching_loss
 from gossipnet_tpu.parallel.spmd import DET_AXIS, gossipnet_sharded_forward
 
 DATA_AXIS = "data"
@@ -60,15 +58,9 @@ def _sharded_loss(params, arrays, cfg: Config, n_det: int, interpret):
         arrays["boxes"], arrays["scores"], arrays["valid"],
         arrays["classes"] if multiclass else None,
         num_shards=n_det, interpret=interpret,
+        remat=cfg.train.remat_blocks,
     )
-    match = greedy_match_batch(
-        arrays["boxes"], jax.lax.stop_gradient(logits), arrays["valid"],
-        arrays["gt_boxes"], arrays["gt_valid"], arrays["gt_crowd"],
-        jnp.asarray(cfg.matching.thresholds, jnp.float32),
-        det_classes=arrays["classes"] if cfg.matching.class_aware else None,
-        gt_classes=arrays["gt_classes"] if cfg.matching.class_aware else None,
-    )
-    return weighted_logistic_loss(logits, match, cfg.loss)
+    return matching_loss(logits, arrays, cfg)
 
 
 def _local_grads(params, arrays, cfg: Config, n_det: int, interpret):

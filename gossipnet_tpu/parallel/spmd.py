@@ -47,12 +47,15 @@ def gossipnet_sharded_forward(
     axis: str = DET_AXIS,
     num_shards: int = 1,
     interpret: bool | None = None,
+    remat: bool = False,
 ) -> Array:
     """Row-sharded forward; call INSIDE shard_map. Returns full logits
     [B, N] (identical on every 'det' rank after the final all-gather).
 
     ``num_shards`` must equal the 'det' mesh axis size (static Python
     int — shard sizes are compile-time shapes). N % num_shards == 0.
+    ``remat`` rematerializes each block on the backward pass, mirroring
+    GossipNet(remat=True) on the flax path.
     """
     multiclass = cfg.num_classes > 1
     dtype = jnp.dtype(cfg.dtype)
@@ -120,8 +123,7 @@ def gossipnet_sharded_forward(
     c = _dense(params["init_fc"], phi)                    # [B, nloc, D]
 
     # --- blocks ---
-    for k in range(cfg.num_blocks):
-        bp = params[f"block_{k}"]
+    def block_fn(bp, c):
         pair = PairParams(
             wa=bp["pair_wa"], wb=bp["pair_wb"], wg=bp["pair_wg"],
             b1=bp["pair_b1"], w2=bp["pair_w2"], b2=bp["pair_b2"],
@@ -142,8 +144,16 @@ def gossipnet_sharded_forward(
             compute_dtype=cfg.pair_matmul_dtype,
             block_sparse=cfg.block_sparse,
         )                                                 # [B, nloc, P]
-        e = jax.nn.relu(_dense(bp["expand"], m_loc))
-        c = c + _dense(bp["expand_out"], e)
+        e = m_loc
+        for i in range(cfg.expand_hidden_layers - 1):
+            key = "expand" if i == 0 else f"expand_h{i}"
+            e = jax.nn.relu(_dense(bp[key], e))
+        return c + _dense(bp["expand_out"], e)
+
+    if remat:
+        block_fn = jax.checkpoint(block_fn)
+    for k in range(cfg.num_blocks):
+        c = block_fn(params[f"block_{k}"], c)
 
     logits_loc = _dense(params["head"], c)[..., 0]        # [B, nloc]
     logits_loc = jnp.where(valid_loc, logits_loc, PAD_LOGIT)

@@ -23,9 +23,8 @@ from flax.training import train_state
 from gossipnet_tpu.config import Config
 from gossipnet_tpu.data.bucketing import Batch, BatchIterator
 from gossipnet_tpu.data.roidb import Roidb
-from gossipnet_tpu.losses import weighted_logistic_loss
+from gossipnet_tpu.losses import matching_loss
 from gossipnet_tpu.models.gossipnet import GossipNet
-from gossipnet_tpu.ops.matching import greedy_match_batch
 from gossipnet_tpu.utils.checkpoint import CheckpointManager
 from gossipnet_tpu.utils.metrics import MetricsLogger, StepTimer
 
@@ -74,7 +73,8 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def build_model(cfg: Config, pool_impl: str = "dense") -> GossipNet:
-    return GossipNet(cfg.model, pool_impl=pool_impl)
+    return GossipNet(cfg.model, pool_impl=pool_impl,
+                     remat=cfg.train.remat_blocks)
 
 
 def create_train_state(
@@ -100,7 +100,9 @@ def loss_and_metrics(
     """Forward + matching + weighted logistic loss, all on device.
 
     Matching consumes the *current* logits (stop-gradient: labels are
-    targets, the reference op likewise defines no gradient).
+    targets, the reference op likewise defines no gradient). The
+    matching/loss tail is shared with the det-sharded step
+    (losses.matching_loss).
     """
     multiclass = cfg.model.num_classes > 1
     logits = apply_fn(
@@ -109,18 +111,7 @@ def loss_and_metrics(
         batch_arrays["valid"],
         batch_arrays["classes"] if multiclass else None,
     )
-    match = greedy_match_batch(
-        batch_arrays["boxes"],
-        jax.lax.stop_gradient(logits),
-        batch_arrays["valid"],
-        batch_arrays["gt_boxes"],
-        batch_arrays["gt_valid"],
-        batch_arrays["gt_crowd"],
-        jnp.asarray(cfg.matching.thresholds, jnp.float32),
-        det_classes=batch_arrays["classes"] if cfg.matching.class_aware else None,
-        gt_classes=batch_arrays["gt_classes"] if cfg.matching.class_aware else None,
-    )
-    return weighted_logistic_loss(logits, match, cfg.loss)
+    return matching_loss(logits, batch_arrays, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
