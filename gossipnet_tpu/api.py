@@ -28,9 +28,16 @@ from gossipnet_tpu.data.bucketing import bucket_for
 
 
 class Rescorer:
-    """Thread-compatible, jit-caching detection rescorer."""
+    """Thread-compatible, jit-caching detection rescorer.
 
-    def __init__(self, cfg: Config, params, pool_impl: str | None = None):
+    With a multi-device ``cfg.parallel`` (or an explicit ``mesh``),
+    inference runs SPMD over the ('data', 'det') mesh — batches shard
+    across chips, pair-matrix rows across the det axis — through the
+    same sharded forward the training CLI uses.
+    """
+
+    def __init__(self, cfg: Config, params, pool_impl: str | None = None,
+                 mesh="config"):
         self.cfg = cfg
         self.params = params
         if pool_impl is None:
@@ -38,7 +45,13 @@ class Rescorer:
         from gossipnet_tpu.train import build_model
 
         self.model = build_model(cfg, pool_impl)
+        if mesh == "config":
+            from gossipnet_tpu.parallel.sharding import mesh_from_config
+
+            mesh = mesh_from_config(cfg, for_training=False)
+        self.mesh = mesh
         self._jitted = {}
+        self._sharded_fn = None
 
     # --- constructors ---
     @classmethod
@@ -87,22 +100,72 @@ class Rescorer:
             self._jitted[key] = fn
         return self._jitted[key]
 
+    def _run(self, boxes_a, scores_a, valid_a, classes_a) -> np.ndarray:
+        """Dispatch one padded batch, on the mesh when configured."""
+        if self.mesh is None:
+            fn = self._fn(*scores_a.shape)
+            return np.asarray(fn(
+                self.params, jnp.asarray(boxes_a), jnp.asarray(scores_a),
+                jnp.asarray(valid_a), jnp.asarray(classes_a),
+            ))
+        if self._sharded_fn is None:
+            from gossipnet_tpu.parallel.sharding import make_sharded_inference
+
+            self._sharded_fn = make_sharded_inference(self.cfg, self.mesh)
+        # Batch rows must tile the 'data' axis: pad with inert rows.
+        b = scores_a.shape[0]
+        n_data = self.mesh.shape["data"]
+        b_pad = -(-b // n_data) * n_data
+        if b_pad != b:
+            pad = ((0, b_pad - b),)
+            boxes_a = np.pad(boxes_a, pad + ((0, 0), (0, 0)))
+            scores_a = np.pad(scores_a, pad + ((0, 0),))
+            valid_a = np.pad(valid_a, pad + ((0, 0),))
+            classes_a = np.pad(classes_a, pad + ((0, 0),))
+        got = np.asarray(self._sharded_fn(self.params, {
+            "boxes": jnp.asarray(boxes_a), "scores": jnp.asarray(scores_a),
+            "valid": jnp.asarray(valid_a), "classes": jnp.asarray(classes_a),
+        }))
+        return got[:b]
+
     # --- public API ---
     def __call__(self, boxes, scores, classes=None) -> np.ndarray:
         """Rescore one image's detections -> new scores [n] in [0, 1]."""
         return self.rescore_batch([(boxes, scores, classes)])[0]
 
     def rescore_batch(
-        self, images: Sequence[tuple], batch_size: int = 8
+        self, images: Sequence[tuple], batch_size: int = 8,
+        truncate: bool = False,
     ) -> list[np.ndarray]:
         """Rescore many images; images grouped by shape bucket.
 
-        Each element is (boxes [n,4] xyxy, scores [n], classes [n] | None).
+        Each element is (boxes [n,4] xyxy, scores [n], classes [n] | None;
+        classes are REQUIRED for a multiclass config — a missing class id
+        raises rather than silently rescoring as class 0).
         Returns new scores aligned with each image's input order.
+
+        Images with more detections than the largest configured bucket
+        raise by default. With ``truncate=True`` the top-bucket prefix is
+        rescored and the tail gets score 0.0 (output length always
+        matches input length).
         """
+        multiclass = self.cfg.model.num_classes > 1
+        max_bucket = max(self.cfg.data.bucket_sizes)
         buckets: dict[int, list[int]] = {}
-        for idx, (boxes, scores, _) in enumerate(images):
+        for idx, (boxes, scores, classes) in enumerate(images):
             n = len(scores)
+            if multiclass and classes is None:
+                raise ValueError(
+                    f"image {idx}: multiclass config "
+                    f"(num_classes={self.cfg.model.num_classes}) requires "
+                    "per-detection class ids; got classes=None"
+                )
+            if n > max_bucket and not truncate:
+                raise ValueError(
+                    f"image {idx} has {n} detections > largest bucket "
+                    f"{max_bucket}; raise data.bucket_sizes or pass "
+                    "truncate=True (tail scores become 0.0)"
+                )
             buckets.setdefault(
                 bucket_for(n, self.cfg.data.bucket_sizes), []
             ).append(idx)
@@ -124,12 +187,11 @@ class Rescorer:
                     valid_a[row, :n] = True
                     if cl is not None:
                         classes_a[row, :n] = np.asarray(cl, np.int32)[:n]
-                fn = self._fn(b, padded_n)
-                new_scores = np.asarray(fn(
-                    self.params, jnp.asarray(boxes_a), jnp.asarray(scores_a),
-                    jnp.asarray(valid_a), jnp.asarray(classes_a),
-                ))
+                new_scores = self._run(boxes_a, scores_a, valid_a, classes_a)
                 for row, idx in enumerate(group):
                     n = len(images[idx][1])
-                    out[idx] = new_scores[row, :n]
+                    kept = min(n, padded_n)
+                    res = np.zeros(n, np.float32)
+                    res[:kept] = new_scores[row, :kept]
+                    out[idx] = res
         return out  # type: ignore[return-value]

@@ -117,7 +117,16 @@ class DataConfig:
 
 @dataclass(frozen=True)
 class ParallelConfig:
-    data_axis: int = 0          # mesh size along 'data' (0 = all devices)
+    """Device-mesh execution, consumed by train() and api.Rescorer.
+
+    The reference is strictly single-device (SURVEY.md §2.3); this is
+    the rebuild's scaling surface. 'auto' builds a ('data', 'det') mesh
+    whenever more than one device is visible; a single YAML knob flips
+    the same code path the CLI uses onto any mesh shape.
+    """
+
+    enable: str = "auto"        # 'auto' | 'on' | 'off'
+    data_axis: int = 0          # mesh size along 'data' (0 = all remaining)
     det_axis: int = 1           # mesh size along 'det' (pair-row sharding)
 
 

@@ -17,6 +17,7 @@ the all-gathers/psums and schedules them on ICI.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Any
 
@@ -42,6 +43,68 @@ def make_mesh(
         n_data = len(devices) // n_det
     assert n_data * n_det == len(devices), (n_data, n_det, len(devices))
     return Mesh(devices.reshape(n_data, n_det), (DATA_AXIS, DET_AXIS))
+
+
+def mesh_from_config(cfg: Config, devices=None,
+                     for_training: bool = True) -> Mesh | None:
+    """Build the ('data', 'det') mesh ParallelConfig describes, or None
+    for the single-device path.
+
+    This is the ONE decision point the train CLI, train(), and
+    api.Rescorer all route through, so a YAML knob
+    (``parallel.enable/data_axis/det_axis``) is sufficient to move a
+    run onto a mesh. 'auto' uses a mesh iff >1 device is visible.
+    """
+    p = cfg.parallel
+    enable = p.enable
+    if isinstance(enable, bool):   # YAML 1.1 parses on/off as booleans
+        enable = "on" if enable else "off"
+    if enable not in ("auto", "on", "off"):
+        raise ValueError(f"parallel.enable must be auto|on|off, "
+                         f"got {p.enable!r}")
+    p = dataclasses.replace(p, enable=enable)
+    devices = list(devices if devices is not None else jax.devices())
+    if p.enable == "off":
+        return None
+    if p.enable == "auto" and len(devices) <= 1:
+        return None
+    n_det = max(int(p.det_axis), 1)
+    if p.data_axis:
+        n_data = int(p.data_axis)
+    else:
+        # data_axis=0 = "use what fits": all remaining devices, but for
+        # training never more than evenly divides the batch (auto mode
+        # must not reject configs that work single-device).
+        n_data = max(len(devices) // n_det, 1)
+        if for_training:
+            while cfg.train.batch_size % n_data != 0:
+                n_data -= 1
+    if n_data * n_det > len(devices):
+        raise ValueError(
+            f"parallel config needs {n_data}x{n_det} devices, "
+            f"only {len(devices)} visible"
+        )
+    if n_data * n_det == 1 and p.enable == "auto":
+        return None
+    _validate_shapes(cfg, n_data, n_det, for_training)
+    return make_mesh(n_data, n_det, devices=devices[: n_data * n_det])
+
+
+def _validate_shapes(
+    cfg: Config, n_data: int, n_det: int, for_training: bool
+) -> None:
+    # Serving (Rescorer) pads its own batch rows to a data-axis
+    # multiple, so only training checks batch_size.
+    if for_training and cfg.train.batch_size % n_data != 0:
+        raise ValueError(
+            f"batch_size {cfg.train.batch_size} not divisible by "
+            f"data axis {n_data}"
+        )
+    bad = [b for b in cfg.data.bucket_sizes if b % n_det != 0]
+    if bad:
+        raise ValueError(
+            f"bucket sizes {bad} not divisible by det axis {n_det}"
+        )
 
 
 def _batch_specs() -> dict[str, P]:

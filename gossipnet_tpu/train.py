@@ -192,12 +192,48 @@ def train(
     it.set_state({"epoch": 0, "cursor": 0, "seed": t.seed})  # rewind
     state = create_train_state(cfg, model, sample)
 
+    # --- device mesh (ParallelConfig): the CLI-reachable SPMD path.
+    # parallel.enable='auto' puts training on a ('data', 'det') mesh
+    # whenever >1 device is visible; 'off' forces the local step.
+    from gossipnet_tpu.parallel.sharding import (
+        make_sharded_train_step, mesh_from_config,
+    )
+
+    mesh = mesh_from_config(cfg)
+    sharded_step = None
+    if mesh is not None:
+        sharded_step = make_sharded_train_step(cfg, mesh, state.tx)
+        print(f"training on mesh {dict(mesh.shape)}", flush=True)
+
+    def one_step(state, batch: Batch):
+        arrays = batch_to_device(batch)
+        if sharded_step is None:
+            return train_step(state, arrays, cfg)
+        params, opt_state, metrics = sharded_step(
+            state.params, state.opt_state, arrays
+        )
+        return (
+            state.replace(step=state.step + 1, params=params,
+                          opt_state=opt_state),
+            metrics,
+        )
+
     ckpt = CheckpointManager(t.checkpoint_dir, max_to_keep=t.keep_checkpoints)
     if ckpt.latest_step() is not None:
         state, host_state = ckpt.restore(state)
         if "iterator" in host_state:
             it.set_state(host_state["iterator"])
         print(f"resumed from step {int(state.step)}", flush=True)
+    if mesh is not None:
+        # Restored (or freshly-initialized) arrays may be committed to a
+        # single device; replicate them over the mesh before stepping.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        state = state.replace(
+            params=jax.device_put(state.params, rep),
+            opt_state=jax.device_put(state.opt_state, rep),
+        )
 
     logger = MetricsLogger(metrics_path, tb_dir=tb_dir)
     timer = StepTimer()
@@ -225,8 +261,14 @@ def train(
     queues: dict[tuple[int, int], list[Batch]] = {}
 
     def run_group(state, group: list[Batch]):
-        if len(group) == 1:
-            return train_step(state, batch_to_device(group[0]), cfg)
+        if len(group) == 1 or sharded_step is not None:
+            # The mesh path runs each batch as one SPMD step: same
+            # stream order, identical math; scanning is a single-device
+            # host-dispatch amortization only.
+            metrics = None
+            for b in group:
+                state, metrics = one_step(state, b)
+            return state, metrics
         stacked = {
             k: jnp.asarray(np.stack([getattr(b, k) for b in group]))
             for k in ("boxes", "scores", "valid", "classes",
@@ -240,7 +282,7 @@ def train(
         before every checkpoint save and at max_steps (no tail-drop)."""
         for key in sorted(queues):
             for b in queues[key]:
-                state, _ = train_step(state, batch_to_device(b), cfg)
+                state, _ = one_step(state, b)
             queues[key] = []
         return state
 

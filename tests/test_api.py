@@ -4,7 +4,9 @@ import numpy as np
 import jax
 
 from gossipnet_tpu.api import Rescorer
-from gossipnet_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from gossipnet_tpu.config import (
+    Config, DataConfig, ModelConfig, ParallelConfig, TrainConfig,
+)
 from gossipnet_tpu.data.synthetic import synthetic_roidb
 from gossipnet_tpu.train import build_model, create_train_state
 from gossipnet_tpu.data.bucketing import BatchIterator
@@ -19,6 +21,7 @@ def _cfg(tmp_path=None, num_classes=1):
             batch_size=4,
             checkpoint_dir=str(tmp_path / "ckpt") if tmp_path else "ckpt",
         ),
+        parallel=ParallelConfig(enable="off"),
     )
 
 
@@ -75,6 +78,7 @@ def test_rescorer_from_checkpoint(tmp_path):
         train=TrainConfig(batch_size=4, max_steps=3, snapshot_every=2,
                           eval_every=0, log_every=100,
                           checkpoint_dir=str(tmp_path / "ckpt")),
+        parallel=ParallelConfig(enable="off"),
     )
     roidb = synthetic_roidb(num_images=8, seed=0)
     train(cfg, roidb, max_steps=3)

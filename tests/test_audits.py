@@ -6,7 +6,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from gossipnet_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from gossipnet_tpu.config import (
+    Config, DataConfig, ModelConfig, ParallelConfig, TrainConfig,
+)
 from gossipnet_tpu.data.synthetic import synthetic_roidb
 from gossipnet_tpu.models.gossipnet import GossipNet
 from gossipnet_tpu.train import train
@@ -23,6 +25,7 @@ def test_training_is_deterministic(tmp_path):
                               log_every=100, snapshot_every=0, eval_every=0,
                               checkpoint_dir=str(tmp_path / tag)),
             data=DataConfig(bucket_sizes=(64,)),
+            parallel=ParallelConfig(enable="off"),
         )
         return train(cfg, synthetic_roidb(num_images=8, seed=0)).params
 

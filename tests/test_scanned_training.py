@@ -5,7 +5,7 @@ import jax
 import pytest
 
 from gossipnet_tpu.config import (
-    Config, DataConfig, ModelConfig, TrainConfig,
+    Config, DataConfig, ModelConfig, ParallelConfig, TrainConfig,
 )
 from gossipnet_tpu.data.synthetic import synthetic_roidb
 from gossipnet_tpu.train import train
@@ -22,6 +22,7 @@ def _cfg(tmp_path, spc, max_steps=12, snapshot_every=0):
             checkpoint_dir=str(tmp_path / f"ck{spc}_{snapshot_every}"),
         ),
         data=DataConfig(bucket_sizes=(64,)),
+        parallel=ParallelConfig(enable="off"),
     )
 
 
@@ -87,6 +88,7 @@ def test_scanned_mixed_gt_padding(tmp_path):
             checkpoint_dir=str(tmp_path / "ck_mixed"),
         ),
         data=DataConfig(bucket_sizes=(256,)),
+        parallel=ParallelConfig(enable="off"),
     )
     state = train(cfg, roidb)
     assert int(state.step) == 8

@@ -7,7 +7,8 @@ import jax.numpy as jnp
 import pytest
 
 from gossipnet_tpu.config import (
-    Config, DataConfig, LossConfig, MatchingConfig, ModelConfig, TrainConfig,
+    Config, DataConfig, LossConfig, MatchingConfig, ModelConfig,
+    ParallelConfig, TrainConfig,
 )
 from gossipnet_tpu.data.bucketing import BatchIterator
 from gossipnet_tpu.data.synthetic import synthetic_roidb
@@ -33,6 +34,7 @@ def _tiny_cfg(tmp_path=None, **train_kw):
         loss=LossConfig(),
         train=TrainConfig(**base_train),
         data=DataConfig(bucket_sizes=(64, 128)),
+        parallel=ParallelConfig(enable="off"),
     )
 
 
