@@ -43,6 +43,7 @@ from jax import Array
 
 from gossipnet_tpu.config import ModelConfig
 from gossipnet_tpu.ops import pair_features as pf
+from gossipnet_tpu.ops import ranking
 
 NEG_INF = -1e30
 PAD_LOGIT = -1e4  # logit assigned to padded detections at the head
@@ -198,23 +199,17 @@ class GossipNet(nn.Module):
         phi = [scores[..., None]]
         if cfg.score_rank_feature:
             # Normalized score rank among valid detections of the image
-            # (multi-class: rank within the detection's class). Both the
-            # rank and its normalizer count only valid same-class dets, so
-            # the feature is padding-invariant.
-            key = jnp.where(valid, scores, -jnp.inf)
-            if multiclass:
-                peer = (
-                    (classes[..., :, None] == classes[..., None, :])
-                    & valid[..., None, :]
-                )
-            else:
-                peer = jnp.broadcast_to(
-                    valid[..., None, :], valid.shape + valid.shape[-1:]
-                )
-            higher = (key[..., None, :] > key[..., :, None]) & peer
-            rank = jnp.sum(higher.astype(dtype), axis=-1)
-            denom = jnp.maximum(jnp.sum(peer.astype(dtype), axis=-1), 1.0)
-            phi.append((rank / denom)[..., None])
+            # (multi-class: rank within the detection's class), computed
+            # sort-based in O(N log N) — no [N, N] tensor ever exists
+            # outside the Pallas kernel (ops/ranking.py). Rank and
+            # normalizer count only valid same-class dets, so the
+            # feature is padding-invariant.
+            rank_feat = ranking.score_rank(
+                scores, valid,
+                classes if multiclass else None,
+                num_classes=cfg.num_classes,
+            )
+            phi.append(rank_feat.astype(dtype)[..., None])
         if multiclass:
             emb = nn.Embed(cfg.num_classes, cfg.class_embed_dim,
                            name="class_embed", dtype=dtype)(classes)

@@ -28,6 +28,7 @@ from jax import Array
 from gossipnet_tpu.config import ModelConfig
 from gossipnet_tpu.models.gossipnet import PAD_LOGIT, PairParams
 from gossipnet_tpu.ops import pair_features as pf
+from gossipnet_tpu.ops import ranking
 from gossipnet_tpu.ops.pallas.pairwise import pallas_pair_pool_rect
 
 DET_AXIS = "det"
@@ -98,24 +99,16 @@ def gossipnet_sharded_forward(
     valid_loc = rows(valid)
     classes_loc = rows(classes) if classes is not None else None
 
-    # --- input features (local rows, global comparisons) ---
+    # --- input features (local rows, computed on the replicated full
+    # arrays then row-sliced; ops/ranking.py is O(N log N), no [N, N]) ---
     phi = [scores_loc[..., None]]
     if cfg.score_rank_feature:
-        key_full = jnp.where(valid, scores, -jnp.inf)     # [B, N]
-        key_loc = rows(key_full)
-        if multiclass:
-            peer = (
-                (classes_loc[..., :, None] == classes[..., None, :])
-                & valid[..., None, :]
-            )                                             # [B, nloc, N]
-        else:
-            peer = jnp.broadcast_to(
-                valid[..., None, :], (b, nloc, n)
-            )
-        higher = (key_full[..., None, :] > key_loc[..., :, None]) & peer
-        rank_feat = jnp.sum(higher.astype(dtype), axis=-1)
-        denom = jnp.maximum(jnp.sum(peer.astype(dtype), axis=-1), 1.0)
-        phi.append((rank_feat / denom)[..., None])
+        rank_full = ranking.score_rank(
+            scores, valid,
+            classes if multiclass else None,
+            num_classes=cfg.num_classes,
+        )                                                 # [B, N]
+        phi.append(rows(rank_full).astype(dtype)[..., None])
     if multiclass:
         emb_table = params["class_embed"]["embedding"].astype(dtype)
         phi.append(emb_table[classes_loc])
