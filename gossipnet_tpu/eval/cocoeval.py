@@ -10,8 +10,13 @@ GTs/detections excluded from the PR curve, 101-point interpolated AP,
 area-range splits (all/small/medium/large) and max-detection caps
 (1/10/100), means taken over classes with at least one non-ignored GT.
 
-It operates directly on numpy arrays (no JSON round trip needed), and is
-unit-tested against hand-constructed cases with known AP.
+It operates directly on numpy arrays (no JSON round trip needed). The
+matching core is vectorized over IoU thresholds and GTs (one short
+python loop over the <=100 score-capped detections per image), IoU
+matrices are computed once per (image, class) and shared across every
+area-range/maxDet combination, and the optional C++ fast path
+(native/gossip_native.cc eval_match) is differential-fuzzed against the
+numpy path bit-for-bit in tests/test_cocoeval_fuzz.py.
 """
 
 from __future__ import annotations
@@ -29,6 +34,11 @@ AREA_RANGES = {
     "large": (96.0**2, 1e10),
 }
 MAX_DETS = (1, 10, 100)
+# Every (area, maxDet) cell summarize() needs; evaluated in one pass.
+_COMBOS = (
+    ("all", 100), ("all", 1), ("all", 10),
+    ("small", 100), ("medium", 100), ("large", 100),
+)
 
 
 @dataclass
@@ -64,6 +74,61 @@ def _np_iou_xyxy(det: np.ndarray, gt: np.ndarray, crowd: np.ndarray) -> np.ndarr
     return np.where(denom > 0, inter / np.maximum(denom, 1e-12), 0.0)
 
 
+def _box_area(boxes: np.ndarray) -> np.ndarray:
+    return np.clip(boxes[:, 2] - boxes[:, 0], 0, None) * np.clip(
+        boxes[:, 3] - boxes[:, 1], 0, None
+    )
+
+
+def match_image_np(
+    ious: np.ndarray,       # [n, g] dets in DESC-score order, gts with
+                            # non-ignored FIRST (stable)
+    gt_crowd: np.ndarray,   # [g] bool (sorted like ious columns)
+    gt_ignore: np.ndarray,  # [g] bool (sorted: all False before True)
+    thrs: np.ndarray = IOU_THRS,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy COCO matching, vectorized over thresholds and GTs.
+
+    Semantics (== pycocotools, == the C++ eval_match): walk detections
+    in descending score; a detection takes the best still-available GT
+    with IoU >= threshold, later GT index winning exact-IoU ties; crowd
+    GTs stay available after matching; ignored GTs are only eligible
+    when no non-ignored GT clears the threshold (the sorted-ignored-last
+    'break' rule). Returns (dt_matched, dt_ignore), both [T, n].
+    """
+    t = len(thrs)
+    n, g = ious.shape
+    dt_matched = np.zeros((t, n), bool)
+    dt_ignore = np.zeros((t, n), bool)
+    if g == 0 or n == 0:
+        return dt_matched, dt_ignore
+    gt_matched = np.zeros((t, g), bool)
+    floor = np.minimum(thrs, 1 - 1e-10)[:, None]            # [T, 1]
+    nonign = ~gt_ignore[None, :]                             # [1, g]
+    crowd = gt_crowd[None, :]
+    trange = np.arange(t)
+    # Detections whose best IoU clears no threshold can never match nor
+    # alter gt_matched — skipping them is exact and fast-paths the
+    # common no-overlap case.
+    cand = np.nonzero(ious.max(axis=1) >= floor.min())[0]
+    for d in cand:
+        c = np.broadcast_to(ious[d][None, :], (t, g))        # [T, g]
+        elig = ~(gt_matched & ~crowd) & (c >= floor)
+        elig_non = elig & nonign
+        has_non = elig_non.any(axis=1)                       # [T]
+        pool = np.where(has_non[:, None], elig_non, elig)
+        cm = np.where(pool, c, -1.0)
+        m = cm.max(axis=1)                                   # [T]
+        found = m > -0.5
+        # Iterative greedy keeps the LAST argmax on ties.
+        win = g - 1 - np.argmax(cm[:, ::-1] == m[:, None], axis=1)
+        tf, wf = trange[found], win[found]
+        gt_matched[tf, wf] = True
+        dt_matched[found, d] = True
+        dt_ignore[found, d] = gt_ignore[wf]
+    return dt_matched, dt_ignore
+
+
 @dataclass
 class _ImgResult:
     dt_scores: np.ndarray   # [n]
@@ -72,74 +137,85 @@ class _ImgResult:
     num_gt: int             # non-ignored GT count
 
 
-def _evaluate_image(
-    det_boxes, det_scores, gt_boxes, gt_crowd, area_rng, max_det
+def _evaluate_combo(
+    det_boxes, det_scores, det_area, ious,          # dets DESC-score sorted
+    gt_boxes, gt_area, gt_crowd,
+    area_rng, max_det, use_native, is_all_area=False,
 ) -> _ImgResult | None:
-    """Match one image's single-class detections to GT (all IoU thrs)."""
-    t = len(IOU_THRS)
-    gt_area = np.clip(gt_boxes[:, 2] - gt_boxes[:, 0], 0, None) * np.clip(
-        gt_boxes[:, 3] - gt_boxes[:, 1], 0, None
-    )
-    gt_ignore = gt_crowd | (gt_area < area_rng[0]) | (gt_area > area_rng[1])
-    if len(det_boxes) == 0 and len(gt_boxes) == 0:
+    """One (area range, maxDet) cell from the shared per-(image, class)
+    sorted detections + IoU matrix.
+
+    ``is_all_area`` short-circuits the area tests ('all' covers every
+    finite box, so gt_ignore == gt_crowd and no det is out of range).
+    """
+    n_all, g = len(det_scores), len(gt_boxes)
+    if n_all == 0 and g == 0:
         return None
-
-    # Detections: descending score, capped.
-    dord = np.argsort(-det_scores, kind="stable")[:max_det]
-    det_boxes, det_scores = det_boxes[dord], det_scores[dord]
-    # GTs: non-ignored first (stable).
-    gord = np.argsort(gt_ignore, kind="stable")
-    gt_boxes, gt_crowd_s, gt_ignore = (
-        gt_boxes[gord], gt_crowd[gord], gt_ignore[gord]
-    )
-
-    n, g = len(det_boxes), len(gt_boxes)
-    from gossipnet_tpu import native
-
-    if native.available():
-        # Hot path in C++ (native/gossip_native.cc eval_match) — same
-        # algorithm, parity-tested in tests/test_native.py.
-        dt_matched, dt_ignore = native.eval_match(
-            det_boxes, gt_boxes, gt_crowd_s, gt_ignore, IOU_THRS
-        )
+    if is_all_area:
+        gt_ignore = gt_crowd
     else:
-        ious = _np_iou_xyxy(det_boxes, gt_boxes, gt_crowd_s)
-        dt_matched = np.zeros((t, n), bool)
-        dt_ignore = np.zeros((t, n), bool)
-        gt_matched = np.zeros((t, g), bool)
+        gt_ignore = gt_crowd | (gt_area < area_rng[0]) \
+            | (gt_area > area_rng[1])
+    n = min(n_all, max_det)
+    t = len(IOU_THRS)
 
-        for ti, thr in enumerate(IOU_THRS):
-            for d in range(n):
-                best, best_iou = -1, min(thr, 1 - 1e-10)
-                for gi in range(g):
-                    if gt_matched[ti, gi] and not gt_crowd_s[gi]:
-                        continue
-                    # Prefer any non-ignored match over ignored ones: once
-                    # a real GT is held and we reach the ignored tail, stop.
-                    if best > -1 and not gt_ignore[best] and gt_ignore[gi]:
-                        break
-                    if ious[d, gi] < best_iou:
-                        continue
-                    best_iou = ious[d, gi]
-                    best = gi
-                if best == -1:
-                    continue
-                gt_matched[ti, best] = True
-                dt_matched[ti, d] = True
-                dt_ignore[ti, d] = gt_ignore[best]
+    if g == 0:
+        dt_matched = np.zeros((t, n), bool)
+    else:
+        # GTs: non-ignored first (stable) — required by the matching
+        # rule. Skip the permutation when nothing is ignored.
+        if gt_ignore.any():
+            gord = np.argsort(gt_ignore, kind="stable")
+            gt_s, gt_crowd_s, gt_ignore_s = (
+                gt_boxes[gord], gt_crowd[gord], gt_ignore[gord])
+            ious_s = None if use_native else ious[:, gord]
+        else:
+            gt_s, gt_crowd_s, gt_ignore_s, ious_s = (
+                gt_boxes, gt_crowd, gt_ignore, ious)
+        if use_native:
+            from gossipnet_tpu import native
+
+            # Hot path in C++ (native/gossip_native.cc eval_match) —
+            # same algorithm; bit-parity enforced by the differential
+            # fuzz test.
+            dt_matched, dt_ignore = native.eval_match(
+                det_boxes[:n], gt_s, gt_crowd_s, gt_ignore_s, IOU_THRS
+            )
+        else:
+            dt_matched, dt_ignore = match_image_np(
+                ious_s[:n], gt_crowd_s, gt_ignore_s, IOU_THRS
+            )
 
     # Unmatched detections outside the area range are ignored.
-    det_area = np.clip(det_boxes[:, 2] - det_boxes[:, 0], 0, None) * np.clip(
-        det_boxes[:, 3] - det_boxes[:, 1], 0, None
-    )
-    out_of_range = (det_area < area_rng[0]) | (det_area > area_rng[1])
-    dt_ignore |= (~dt_matched) & out_of_range[None, :]
+    if is_all_area:
+        if g == 0:
+            dt_ignore = np.zeros((t, n), bool)
+    else:
+        out_of_range = (det_area[:n] < area_rng[0]) \
+            | (det_area[:n] > area_rng[1])
+        if g == 0:
+            dt_ignore = np.broadcast_to(out_of_range[None, :], (t, n)).copy()
+        else:
+            dt_ignore = dt_ignore | ((~dt_matched) & out_of_range[None, :])
 
     return _ImgResult(
-        dt_scores=det_scores,
+        dt_scores=det_scores[:n],
         dt_matched=dt_matched,
         dt_ignore=dt_ignore,
         num_gt=int((~gt_ignore).sum()),
+    )
+
+
+def _prefix_result(r: _ImgResult | None, max_det: int) -> _ImgResult | None:
+    """maxDet cap of an 'all'-area result: greedy matching is sequential
+    in the detections, so capping is EXACTLY a column prefix."""
+    if r is None or len(r.dt_scores) <= max_det:
+        return r
+    return _ImgResult(
+        dt_scores=r.dt_scores[:max_det],
+        dt_matched=r.dt_matched[:, :max_det],
+        dt_ignore=r.dt_ignore[:, :max_det],
+        num_gt=r.num_gt,
     )
 
 
@@ -156,13 +232,17 @@ class COCOEvaluator:
 
     num_classes: int = 1
     images: list[EvalImage] = field(default_factory=list)
+    # force_numpy=True disables the C++ fast path (tests/fuzzing).
+    force_numpy: bool = False
+    _results: dict | None = field(default=None, repr=False)
 
     def add(self, img: EvalImage) -> None:
         self.images.append(img)
+        self._results = None
 
     def add_arrays(self, image_id, det_boxes, det_scores, det_classes,
                    gt_boxes, gt_classes, gt_crowd) -> None:
-        self.images.append(EvalImage(
+        self.add(EvalImage(
             image_id=image_id,
             det_boxes=np.asarray(det_boxes, np.float64).reshape(-1, 4),
             det_scores=np.asarray(det_scores, np.float64).reshape(-1),
@@ -172,60 +252,103 @@ class COCOEvaluator:
             gt_crowd=np.asarray(gt_crowd, bool).reshape(-1),
         ))
 
+    # --- core evaluation, one pass over (image, class) ---
+
+    def _use_native(self) -> bool:
+        if self.force_numpy:
+            return False
+        from gossipnet_tpu import native
+
+        return native.available()
+
+    def _evaluate_all(self) -> dict:
+        """{(area, maxDet): (precision [T, 101, K], recall [T, K])} for
+        every combo summarize() needs; IoU matrices and score sorts are
+        computed once per (image, class) and shared."""
+        if self._results is not None:
+            return self._results
+        t, k = len(IOU_THRS), self.num_classes
+        use_native = self._use_native()
+        per_combo: dict = {c: [[] for _ in range(k)] for c in _COMBOS}
+
+        for img in self.images:
+            for ci in range(k):
+                dmask = img.det_classes == ci
+                gmask = img.gt_classes == ci
+                db, ds = img.det_boxes[dmask], img.det_scores[dmask]
+                gb, gc = img.gt_boxes[gmask], img.gt_crowd[gmask]
+                if len(ds) == 0 and len(gb) == 0:
+                    continue
+                dord = np.argsort(-ds, kind="stable")
+                db, ds = db[dord], ds[dord]
+                det_area = _box_area(db)
+                gt_area = _box_area(gb)
+                ious = (None if use_native
+                        else _np_iou_xyxy(db, gb, gc))
+                # 'all' area once at maxDet=100; the 1/10 caps are
+                # exact column prefixes (greedy is sequential in d).
+                r100 = _evaluate_combo(
+                    db, ds, det_area, ious, gb, gt_area, gc,
+                    AREA_RANGES["all"], 100, use_native, is_all_area=True,
+                )
+                if r100 is not None:
+                    per_combo[("all", 100)][ci].append(r100)
+                    per_combo[("all", 1)][ci].append(
+                        _prefix_result(r100, 1))
+                    per_combo[("all", 10)][ci].append(
+                        _prefix_result(r100, 10))
+                for area in ("small", "medium", "large"):
+                    r = _evaluate_combo(
+                        db, ds, det_area, ious, gb, gt_area, gc,
+                        AREA_RANGES[area], 100, use_native,
+                    )
+                    if r is not None:
+                        per_combo[(area, 100)][ci].append(r)
+
+        out = {}
+        for combo, by_class in per_combo.items():
+            precision = -np.ones((t, len(RECALL_THRS), k))
+            recall = -np.ones((t, k))
+            for cls in range(k):
+                results = by_class[cls]
+                if not results:
+                    continue
+                npig = sum(r.num_gt for r in results)
+                if npig == 0:
+                    continue
+                scores = np.concatenate([r.dt_scores for r in results])
+                order = np.argsort(-scores, kind="mergesort")
+                matched = np.concatenate(
+                    [r.dt_matched for r in results], axis=1)[:, order]
+                ignored = np.concatenate(
+                    [r.dt_ignore for r in results], axis=1)[:, order]
+                for ti in range(t):
+                    m = matched[ti][~ignored[ti]]
+                    tp = np.cumsum(m)
+                    fp = np.cumsum(~m)
+                    if len(tp) == 0:
+                        recall[ti, cls] = 0.0
+                        precision[ti, :, cls] = 0.0
+                        continue
+                    rc = tp / npig
+                    pr = tp / np.maximum(tp + fp, 1e-12)
+                    recall[ti, cls] = rc[-1]
+                    # Monotone-decreasing envelope, then 101-pt sampling.
+                    pr = np.maximum.accumulate(pr[::-1])[::-1]
+                    inds = np.searchsorted(rc, RECALL_THRS, side="left")
+                    q = np.zeros(len(RECALL_THRS))
+                    valid = inds < len(pr)
+                    q[valid] = pr[inds[valid]]
+                    precision[ti, :, cls] = q
+            out[combo] = (precision, recall)
+        self._results = out
+        return out
+
     def _accumulate(
         self, area: str, max_det: int
     ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (precision [T, 101, K], recall [T, K]); -1 = undefined."""
-        t, k = len(IOU_THRS), self.num_classes
-        precision = -np.ones((t, len(RECALL_THRS), k))
-        recall = -np.ones((t, k))
-        rng = AREA_RANGES[area]
-
-        for cls in range(k):
-            results = []
-            for img in self.images:
-                dmask = img.det_classes == cls
-                gmask = img.gt_classes == cls
-                r = _evaluate_image(
-                    img.det_boxes[dmask], img.det_scores[dmask],
-                    img.gt_boxes[gmask], img.gt_crowd[gmask],
-                    rng, max_det,
-                )
-                if r is not None:
-                    results.append(r)
-            if not results:
-                continue
-            npig = sum(r.num_gt for r in results)
-            if npig == 0:
-                continue
-            scores = np.concatenate([r.dt_scores for r in results])
-            order = np.argsort(-scores, kind="mergesort")
-            matched = np.concatenate([r.dt_matched for r in results], axis=1)[
-                :, order
-            ]
-            ignored = np.concatenate([r.dt_ignore for r in results], axis=1)[
-                :, order
-            ]
-            for ti in range(t):
-                m = matched[ti][~ignored[ti]]
-                tp = np.cumsum(m)
-                fp = np.cumsum(~m)
-                if len(tp) == 0:
-                    recall[ti, cls] = 0.0
-                    precision[ti, :, cls] = 0.0
-                    continue
-                rc = tp / npig
-                pr = tp / np.maximum(tp + fp, 1e-12)
-                recall[ti, cls] = rc[-1]
-                # Monotone-decreasing envelope, then 101-point sampling.
-                for i in range(len(pr) - 1, 0, -1):
-                    pr[i - 1] = max(pr[i - 1], pr[i])
-                inds = np.searchsorted(rc, RECALL_THRS, side="left")
-                q = np.zeros(len(RECALL_THRS))
-                valid = inds < len(pr)
-                q[valid] = pr[inds[valid]]
-                precision[ti, :, cls] = q
-        return precision, recall
+        return self._evaluate_all()[(area, max_det)]
 
     def summarize(self) -> dict[str, float]:
         def _mean(x):

@@ -44,9 +44,10 @@ def _load():
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.eval_match.argtypes = [
-            f32p, ctypes.c_int, f32p, u8p, u8p, ctypes.c_int,
-            f32p, ctypes.c_int, u8p, u8p,
+            f64p, ctypes.c_int, f64p, u8p, u8p, ctypes.c_int,
+            f64p, ctypes.c_int, u8p, u8p,
         ]
         lib.eval_match.restype = None
         lib.greedy_match.argtypes = [
@@ -78,12 +79,14 @@ def eval_match(det_boxes, gt_boxes, gt_crowd, gt_ignore, thresholds):
     t = len(thresholds)
     dt_matched = np.zeros((t, n), np.uint8)
     dt_ignore = np.zeros((t, n), np.uint8)
+    # float64 end to end — must stay bit-comparable with the numpy path
+    # (a float32 threshold rejects IoUs equal to the threshold).
     lib.eval_match(
-        np.ascontiguousarray(det_boxes, np.float32), n,
-        np.ascontiguousarray(gt_boxes, np.float32),
+        np.ascontiguousarray(det_boxes, np.float64), n,
+        np.ascontiguousarray(gt_boxes, np.float64),
         np.ascontiguousarray(gt_crowd, np.uint8),
         np.ascontiguousarray(gt_ignore, np.uint8), g,
-        np.ascontiguousarray(thresholds, np.float32), t,
+        np.ascontiguousarray(thresholds, np.float64), t,
         dt_matched, dt_ignore,
     )
     return dt_matched.astype(bool), dt_ignore.astype(bool)

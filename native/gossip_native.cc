@@ -27,14 +27,18 @@
 
 namespace {
 
-inline double box_area(const float* b) {
+template <typename T>
+inline double box_area(const T* b) {
   const double w = std::max(0.0, double(b[2]) - double(b[0]));
   const double h = std::max(0.0, double(b[3]) - double(b[1]));
   return w * h;
 }
 
 // IoU; if `crowd`, intersection-over-detection-area (pycocotools iscrowd).
-inline double overlap(const float* det, const float* gt, bool crowd) {
+// Bit-identical to eval/cocoeval.py::_np_iou_xyxy (including the 1e-12
+// denominator clamp) so the numpy and C++ eval paths fuzz bit-equal.
+template <typename T>
+inline double overlap(const T* det, const T* gt, bool crowd) {
   const double ix = std::max(
       0.0, std::min(double(det[2]), double(gt[2])) -
                std::max(double(det[0]), double(gt[0])));
@@ -44,7 +48,7 @@ inline double overlap(const float* det, const float* gt, bool crowd) {
   const double inter = ix * iy;
   const double denom =
       crowd ? box_area(det) : box_area(det) + box_area(gt) - inter;
-  return denom > 0.0 ? inter / denom : 0.0;
+  return denom > 0.0 ? inter / std::max(denom, 1e-12) : 0.0;
 }
 
 }  // namespace
@@ -61,9 +65,12 @@ extern "C" {
 //   thresholds [t]
 // Outputs (caller-allocated):
 //   dt_matched [t*n] 0/1     dt_ignore [t*n] 0/1
-void eval_match(const float* det_boxes, int n, const float* gt_boxes,
+// NB double precision throughout: the vendored numpy evaluator works in
+// float64, and a float32 threshold (e.g. f32(0.6) > 0.6) silently
+// rejects IoUs landing exactly on a threshold.
+void eval_match(const double* det_boxes, int n, const double* gt_boxes,
                 const uint8_t* gt_crowd, const uint8_t* gt_ignore, int g,
-                const float* thresholds, int t, uint8_t* dt_matched,
+                const double* thresholds, int t, uint8_t* dt_matched,
                 uint8_t* dt_ignore) {
   std::memset(dt_matched, 0, size_t(t) * n);
   std::memset(dt_ignore, 0, size_t(t) * n);
