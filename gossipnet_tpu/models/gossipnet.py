@@ -172,6 +172,18 @@ class GossipNet(nn.Module):
         multiclass = cfg.num_classes > 1
         if multiclass and classes is None:
             raise ValueError("multi-class model requires `classes`")
+        # Defense against an XLA:TPU gather CONSTANT-FOLDING miscompile
+        # (docs/KNOWN_ISSUES.md): if a caller closes over the detection
+        # arrays instead of passing them as jit arguments, the folded
+        # take_along_axis keeps only lane 0 of each box. The barrier
+        # stops constant folding at the model boundary; it is free at
+        # runtime.
+        if classes is None:
+            boxes, scores, valid = jax.lax.optimization_barrier(
+                (boxes, scores, valid))
+        else:
+            boxes, scores, valid, classes = jax.lax.optimization_barrier(
+                (boxes, scores, valid, classes))
         dtype = jnp.dtype(cfg.dtype)
         boxes = boxes.astype(dtype)
         scores = scores.astype(dtype)

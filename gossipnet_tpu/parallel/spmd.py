@@ -59,6 +59,14 @@ def gossipnet_sharded_forward(
     GossipNet(remat=True) on the flax path.
     """
     multiclass = cfg.num_classes > 1
+    # Same const-folding defense as GossipNet.__call__ (see
+    # docs/KNOWN_ISSUES.md: XLA:TPU folds constant gathers wrongly).
+    if classes is None:
+        boxes, scores, valid = jax.lax.optimization_barrier(
+            (boxes, scores, valid))
+    else:
+        boxes, scores, valid, classes = jax.lax.optimization_barrier(
+            (boxes, scores, valid, classes))
     dtype = jnp.dtype(cfg.dtype)
     boxes = boxes.astype(dtype)
     scores = scores.astype(dtype)

@@ -12,22 +12,29 @@ dials the remote TPU and stalls for minutes.
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# GNET_TPU=1 leaves jax on the real TPU for the hardware-marked tests:
+#   GNET_TPU=1 python -m pytest -m tpu tests/
+# (see BENCHMARKS.md methodology). Everything else runs on the CPU mesh.
+_ON_TPU = os.environ.get("GNET_TPU") == "1"
+
+if not _ON_TPU:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-try:  # drop any remote-TPU plugin factory so it is never initialized
-    from jax._src import xla_bridge as _xb
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    try:  # drop any remote-TPU plugin factory so it is never initialized
+        from jax._src import xla_bridge as _xb
 
-    _xb._backend_factories.pop("axon", None)
-except Exception:
-    pass
+        _xb._backend_factories.pop("axon", None)
+    except Exception:
+        pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
