@@ -17,6 +17,7 @@ remote-TPU execution stack):
   the same jitted step, so all iterations demonstrably execute.
 """
 
+import argparse
 import json
 import time
 
@@ -25,7 +26,7 @@ import numpy as np
 TARGET = 50_000.0
 
 
-def main() -> None:
+def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -35,7 +36,14 @@ def main() -> None:
     enable_compilation_cache()
 
     from __graft_entry__ import _flagship_cfg, _synthetic_arrays
+    from gossipnet_tpu.data.synthetic import BENCH_LAYOUTS, layout_batch
     from gossipnet_tpu.train import build_model
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--layout", default="clustered", choices=BENCH_LAYOUTS,
+                   help="spatial detection layout (scripts/bench_suite.py "
+                        "reports all of them; BENCHMARKS.md has the table)")
+    args = p.parse_args(argv)
 
     on_tpu = jax.default_backend() == "tpu"
     n = 1024 if on_tpu else 256
@@ -43,7 +51,10 @@ def main() -> None:
 
     cfg = _flagship_cfg()
     model = build_model(cfg, pool_impl="pallas" if on_tpu else "dense")
-    data = _synthetic_arrays(batch=batch, n=n, seed=0)
+    if args.layout == "clustered":
+        data = _synthetic_arrays(batch=batch, n=n, seed=0)
+    else:
+        data = layout_batch(args.layout, batch=batch, n=n, seed=0)
     boxes = jnp.asarray(data.boxes)
     scores = jnp.asarray(data.scores)
     valid = jnp.asarray(data.valid)
@@ -82,7 +93,7 @@ def main() -> None:
     print(json.dumps({
         "metric": f"rescored detections/sec/chip @ N={n}, "
                   f"16-block GossipNet ({jax.default_backend()}), "
-                  "sustained on-device",
+                  f"layout={args.layout}, sustained on-device",
         "value": round(dets_per_sec, 1),
         "unit": "dets/sec",
         "vs_baseline": round(dets_per_sec / TARGET, 3),

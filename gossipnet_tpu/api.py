@@ -100,20 +100,22 @@ class Rescorer:
             self._jitted[key] = fn
         return self._jitted[key]
 
-    def _run(self, boxes_a, scores_a, valid_a, classes_a) -> np.ndarray:
-        """Dispatch one padded batch, on the mesh when configured."""
+    def _dispatch(self, boxes_a, scores_a, valid_a, classes_a):
+        """Enqueue one padded batch on device; returns (device_array,
+        row_count). JAX dispatch is asynchronous — the caller can keep
+        packing host batches while this one computes."""
+        b = scores_a.shape[0]
         if self.mesh is None:
             fn = self._fn(*scores_a.shape)
-            return np.asarray(fn(
+            return fn(
                 self.params, jnp.asarray(boxes_a), jnp.asarray(scores_a),
                 jnp.asarray(valid_a), jnp.asarray(classes_a),
-            ))
+            ), b
         if self._sharded_fn is None:
             from gossipnet_tpu.parallel.sharding import make_sharded_inference
 
             self._sharded_fn = make_sharded_inference(self.cfg, self.mesh)
         # Batch rows must tile the 'data' axis: pad with inert rows.
-        b = scores_a.shape[0]
         n_data = self.mesh.shape["data"]
         b_pad = -(-b // n_data) * n_data
         if b_pad != b:
@@ -122,16 +124,101 @@ class Rescorer:
             scores_a = np.pad(scores_a, pad + ((0, 0),))
             valid_a = np.pad(valid_a, pad + ((0, 0),))
             classes_a = np.pad(classes_a, pad + ((0, 0),))
-        got = np.asarray(self._sharded_fn(self.params, {
+        return self._sharded_fn(self.params, {
             "boxes": jnp.asarray(boxes_a), "scores": jnp.asarray(scores_a),
             "valid": jnp.asarray(valid_a), "classes": jnp.asarray(classes_a),
-        }))
-        return got[:b]
+        }), b
+
+    def _run(self, boxes_a, scores_a, valid_a, classes_a) -> np.ndarray:
+        """Dispatch one padded batch and block for the result."""
+        out, b = self._dispatch(boxes_a, scores_a, valid_a, classes_a)
+        return np.asarray(out)[:b]
+
+    def _check_image(self, idx, scores, classes, truncate):
+        if self.cfg.model.num_classes > 1 and classes is None:
+            raise ValueError(
+                f"image {idx}: multiclass config "
+                f"(num_classes={self.cfg.model.num_classes}) requires "
+                "per-detection class ids; got classes=None"
+            )
+        max_bucket = max(self.cfg.data.bucket_sizes)
+        if len(scores) > max_bucket and not truncate:
+            raise ValueError(
+                f"image {idx} has {len(scores)} detections > largest "
+                f"bucket {max_bucket}; raise data.bucket_sizes or pass "
+                "truncate=True (tail scores become 0.0)"
+            )
+
+    def _pack(self, group, padded_n):
+        """group: list of (idx, boxes, scores, classes) -> padded arrays."""
+        b = len(group)
+        boxes_a = np.zeros((b, padded_n, 4), np.float32)
+        scores_a = np.zeros((b, padded_n), np.float32)
+        valid_a = np.zeros((b, padded_n), bool)
+        classes_a = np.zeros((b, padded_n), np.int32)
+        for row, (_, bx, sc, cl) in enumerate(group):
+            n = min(len(sc), padded_n)
+            boxes_a[row, :n] = np.asarray(bx, np.float32)[:n]
+            scores_a[row, :n] = np.asarray(sc, np.float32)[:n]
+            valid_a[row, :n] = True
+            if cl is not None:
+                classes_a[row, :n] = np.asarray(cl, np.int32)[:n]
+        return boxes_a, scores_a, valid_a, classes_a
 
     # --- public API ---
     def __call__(self, boxes, scores, classes=None) -> np.ndarray:
         """Rescore one image's detections -> new scores [n] in [0, 1]."""
         return self.rescore_batch([(boxes, scores, classes)])[0]
+
+    def rescore_stream(
+        self, images, batch_size: int = 8, truncate: bool = False,
+    ):
+        """Generator over (index, new_scores) in INPUT ORDER with
+        double-buffered dispatch: while the device computes batch k, the
+        host packs batch k+1 (JAX dispatch is async; only the yield of
+        batch k blocks). Consecutive images sharing a shape bucket are
+        batched together up to ``batch_size``.
+
+        Use this for serving pipelines; ``rescore_batch`` is simpler for
+        offline lists (it groups globally by bucket instead).
+        """
+        pending = None   # (device_out, row_count, metas)
+
+        def emit(entry):
+            out, b, metas = entry
+            host = np.asarray(out)[:b]
+            for row, (idx, n, kept) in enumerate(metas):
+                res = np.zeros(n, np.float32)
+                res[:kept] = host[row, :kept]
+                yield idx, res
+
+        def dispatch(group, padded_n):
+            arrays = self._pack(group, padded_n)
+            out, b = self._dispatch(*arrays)
+            metas = [(idx, len(sc), min(len(sc), padded_n))
+                     for idx, _, sc, _ in group]
+            return out, b, metas
+
+        cur: list = []
+        cur_bucket = None
+        for idx, (bx, sc, cl) in enumerate(images):
+            self._check_image(idx, sc, cl, truncate)
+            bkt = bucket_for(len(sc), self.cfg.data.bucket_sizes)
+            if cur and (bkt != cur_bucket or len(cur) == batch_size):
+                entry = dispatch(cur, cur_bucket)
+                if pending is not None:
+                    yield from emit(pending)
+                pending = entry
+                cur = []
+            cur_bucket = bkt
+            cur.append((idx, bx, sc, cl))
+        if cur:
+            entry = dispatch(cur, cur_bucket)
+            if pending is not None:
+                yield from emit(pending)
+            pending = entry
+        if pending is not None:
+            yield from emit(pending)
 
     def rescore_batch(
         self, images: Sequence[tuple], batch_size: int = 8,
@@ -149,47 +236,21 @@ class Rescorer:
         rescored and the tail gets score 0.0 (output length always
         matches input length).
         """
-        multiclass = self.cfg.model.num_classes > 1
-        max_bucket = max(self.cfg.data.bucket_sizes)
         buckets: dict[int, list[int]] = {}
         for idx, (boxes, scores, classes) in enumerate(images):
-            n = len(scores)
-            if multiclass and classes is None:
-                raise ValueError(
-                    f"image {idx}: multiclass config "
-                    f"(num_classes={self.cfg.model.num_classes}) requires "
-                    "per-detection class ids; got classes=None"
-                )
-            if n > max_bucket and not truncate:
-                raise ValueError(
-                    f"image {idx} has {n} detections > largest bucket "
-                    f"{max_bucket}; raise data.bucket_sizes or pass "
-                    "truncate=True (tail scores become 0.0)"
-                )
+            self._check_image(idx, scores, classes, truncate)
             buckets.setdefault(
-                bucket_for(n, self.cfg.data.bucket_sizes), []
+                bucket_for(len(scores), self.cfg.data.bucket_sizes), []
             ).append(idx)
 
         out: list[np.ndarray | None] = [None] * len(images)
         for padded_n, idxs in buckets.items():
             for s in range(0, len(idxs), batch_size):
-                group = idxs[s : s + batch_size]
-                b = len(group)
-                boxes_a = np.zeros((b, padded_n, 4), np.float32)
-                scores_a = np.zeros((b, padded_n), np.float32)
-                valid_a = np.zeros((b, padded_n), bool)
-                classes_a = np.zeros((b, padded_n), np.int32)
-                for row, idx in enumerate(group):
-                    bx, sc, cl = images[idx]
-                    n = min(len(sc), padded_n)
-                    boxes_a[row, :n] = np.asarray(bx, np.float32)[:n]
-                    scores_a[row, :n] = np.asarray(sc, np.float32)[:n]
-                    valid_a[row, :n] = True
-                    if cl is not None:
-                        classes_a[row, :n] = np.asarray(cl, np.int32)[:n]
-                new_scores = self._run(boxes_a, scores_a, valid_a, classes_a)
-                for row, idx in enumerate(group):
-                    n = len(images[idx][1])
+                group = [(idx,) + tuple(images[idx])
+                         for idx in idxs[s : s + batch_size]]
+                new_scores = self._run(*self._pack(group, padded_n))
+                for row, (idx, _, sc, _) in enumerate(group):
+                    n = len(sc)
                     kept = min(n, padded_n)
                     res = np.zeros(n, np.float32)
                     res[:kept] = new_scores[row, :kept]

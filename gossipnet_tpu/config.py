@@ -48,6 +48,11 @@ class ModelConfig:
     # sorting inputs and unsorting outputs is a pure perf transform.
     block_sparse: bool = True
     sort_detections: bool = True
+    # Pair-kernel tile shape (rows x cols). 128x128 won the round-2
+    # sweep (scripts/tile_sweep.py) on v5e; larger tiles raise VMEM
+    # pressure without improving MXU utilization at P=32.
+    pair_tile_i: int = 128
+    pair_tile_j: int = 128
 
 
 @dataclass(frozen=True)

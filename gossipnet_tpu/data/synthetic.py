@@ -84,6 +84,85 @@ def synthetic_roidb(
                  cat_ids=list(range(1, num_classes + 1)))
 
 
+BENCH_LAYOUTS = ("clustered", "uniform", "mixed", "blob")
+
+
+def layout_record(
+    rng: np.random.Generator,
+    image_id: int,
+    layout: str,
+    n_dets: int,
+    canvas: float = 640.0,
+) -> ImageRecord:
+    """Spatial detection layouts for benchmarking (VERDICT r1 item 5).
+
+    The block-sparse pair kernel's win depends on how detections spread
+    over the image, so throughput must be reported per layout:
+
+    - 'clustered': jittered boxes around GT clusters — the round-1 bench
+      regime and the best case for tile skipping after the x-sort.
+    - 'uniform': boxes spread uniformly with COCO-typical sizes — the
+      realistic 80-class regime (objects rarely pile up).
+    - 'mixed': half clustered, half uniform — crowded foreground over
+      scattered background detections.
+    - 'blob': every box inside one small region, all pairs overlap —
+      the adversarial worst case; tile skipping cannot help.
+    """
+    if layout == "clustered":
+        return synthetic_record(
+            rng, image_id, num_gt=max(n_dets // 8, 1), dets_per_gt=6,
+            num_clutter=max(n_dets // 8, 1), canvas=canvas,
+        )
+
+    def uniform_boxes(k, lo=0.03, hi=0.15, x0=0.0, span=1.0):
+        xy = (x0 + rng.uniform(0, span, size=(k, 2)) * 0.9) * canvas
+        wh = rng.uniform(lo, hi, size=(k, 2)) * canvas
+        return np.concatenate([xy, xy + wh], axis=1)
+
+    if layout == "uniform":
+        boxes = uniform_boxes(n_dets)
+    elif layout == "blob":
+        # All boxes inside the central 15% of the canvas, sized 10-20%:
+        # every pair overlaps.
+        xy = (0.42 + rng.uniform(0, 0.15, size=(n_dets, 2))) * canvas
+        wh = rng.uniform(0.10, 0.20, size=(n_dets, 2)) * canvas
+        boxes = np.concatenate([xy, xy + wh], axis=1)
+    elif layout == "mixed":
+        half = n_dets // 2
+        clustered = synthetic_record(
+            rng, image_id, num_gt=max(half // 8, 1), dets_per_gt=8,
+            num_clutter=0, canvas=canvas,
+        ).det_boxes[:half]
+        boxes = np.concatenate(
+            [clustered, uniform_boxes(n_dets - len(clustered))], axis=0)
+    else:
+        raise ValueError(f"unknown layout {layout!r}; "
+                         f"options: {BENCH_LAYOUTS}")
+
+    n = len(boxes)
+    # A few GT boxes so training benches work on any layout.
+    gt = uniform_boxes(max(n // 16, 1))
+    return ImageRecord(
+        image_id=image_id,
+        det_boxes=np.asarray(boxes, np.float32),
+        det_scores=rng.uniform(0.3, 1.0, size=n).astype(np.float32),
+        det_classes=np.zeros(n, np.int32),
+        gt_boxes=np.asarray(gt, np.float32),
+        gt_classes=np.zeros(len(gt), np.int32),
+        gt_crowd=np.zeros(len(gt), bool),
+    )
+
+
+def layout_batch(layout: str, batch: int, n: int, seed: int = 0):
+    """Padded Batch of ``batch`` images in the given bench layout."""
+    from gossipnet_tpu.data.bucketing import make_batch
+
+    rng = np.random.default_rng(seed)
+    records = [layout_record(rng, i, layout, n_dets=n)
+               for i in range(batch)]
+    return make_batch(records, padded_n=n)
+
+
 def crowd_record(
     rng: np.random.Generator,
     image_id: int,

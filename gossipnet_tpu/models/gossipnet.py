@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from gossipnet_tpu.config import ModelConfig
+from gossipnet_tpu.ops import order as ordering
 from gossipnet_tpu.ops import pair_features as pf
 from gossipnet_tpu.ops import ranking
 
@@ -189,13 +190,13 @@ class GossipNet(nn.Module):
         scores = scores.astype(dtype)
 
         # Spatial sort (Pallas path): GossipNet is permutation-equivariant
-        # per detection, so sorting by box center-x and unsorting the
-        # logits is a pure perf transform — it concentrates neighbor pairs
-        # near the diagonal so the block-sparse kernel skips most tiles.
+        # per detection, so reordering inputs and unsorting the logits is
+        # a pure perf transform — Morton (Z-order) keys cluster each tile
+        # in BOTH axes so the block-sparse kernel's 2-D tile-bbox test
+        # prunes aggressively (ops/order.py).
         inv_perm = None
         if self.pool_impl == "pallas" and cfg.sort_detections:
-            key = jnp.where(valid, 0.5 * (boxes[..., 0] + boxes[..., 2]),
-                            jnp.inf)
+            key = ordering.morton_sort_key(boxes, valid)
             perm = jnp.argsort(key, axis=-1)
             inv_perm = jnp.argsort(perm, axis=-1)
             boxes = jnp.take_along_axis(boxes, perm[..., None], axis=-2)
@@ -255,6 +256,7 @@ class GossipNet(nn.Module):
                     classes=inputs["classes"],
                     compute_dtype=cfg.pair_matmul_dtype,
                     block_sparse=cfg.block_sparse,
+                    tile_i=cfg.pair_tile_i, tile_j=cfg.pair_tile_j,
                 )
 
             pool_inputs = {

@@ -1,0 +1,50 @@
+"""Spatial ordering of detections for block-sparse tile pruning.
+
+GossipNet is permutation-equivariant per detection, so any input
+reordering (undone on the logits) is a pure performance transform. The
+block-sparse pair kernel (ops/pallas/pairwise.py) skips TIxTJ tiles
+whose row/col bounding boxes cannot intersect — the tighter the spatial
+extent of each 128-detection tile, the more tiles prune.
+
+Round 1 sorted by box center-x, which bounds tiles in x only: with
+dense scenes the y-extent of a tile stays full-canvas and the pruning
+test degenerates to a 1-D interval check. A Morton (Z-order) key of the
+quantized box center clusters tiles in BOTH axes, so the 2-D bbox test
+prunes far more aggressively (measured in BENCHMARKS.md).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+
+def _part1by1(x: Array) -> Array:
+    """Spread the low 16 bits of x to even bit positions (uint32)."""
+    x = x & jnp.uint32(0x0000FFFF)
+    x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
+    x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
+    x = (x | (x << 2)) & jnp.uint32(0x33333333)
+    x = (x | (x << 1)) & jnp.uint32(0x55555555)
+    return x
+
+
+def morton_sort_key(boxes: Array, valid: Array) -> Array:
+    """Z-order key of box centers, uint32; invalid rows sort LAST.
+
+    Centers quantize to a 16-bit grid over the per-image valid extent;
+    interleaved bits give the Morton code (< 2^32, so invalid rows get
+    the uint32 max sentinel).
+    """
+    cx = 0.5 * (boxes[..., 0] + boxes[..., 2])
+    cy = 0.5 * (boxes[..., 1] + boxes[..., 3])
+
+    def _quantize(c):
+        lo = jnp.min(jnp.where(valid, c, jnp.inf), axis=-1, keepdims=True)
+        hi = jnp.max(jnp.where(valid, c, -jnp.inf), axis=-1, keepdims=True)
+        span = jnp.maximum(hi - lo, 1e-6)
+        q = jnp.clip((c - lo) / span * 65535.0, 0.0, 65535.0)
+        return q.astype(jnp.uint32)
+
+    key = (_part1by1(_quantize(cy)) << 1) | _part1by1(_quantize(cx))
+    return jnp.where(valid, key, jnp.uint32(0xFFFFFFFF))

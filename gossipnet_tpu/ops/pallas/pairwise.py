@@ -29,6 +29,17 @@ route gradients through the max winners — one accumulates row gradients
 gradients (d_b) over the i axis with a transposed grid, because a Pallas
 output block may only be revisited on consecutive grid steps.
 
+KNOWN (documented) VJP divergence on exact ties: the backward routes dm
+to EVERY position where h2 == m (the win mask), so pair activations that
+tie for the row max each receive the FULL gradient, where the dense
+path's jnp.max VJP splits it evenly among the ties. Exact f32 ties of
+strictly-positive activations are measure-zero for real detections
+(parity-tested to rtol 5e-3 on random data, incl. on-chip
+tests/test_tpu_hw.py); ties at exactly 0 are masked out of the gradient
+by the relu factor (dpre2 keeps only h2 > 0). Accepted divergence per
+ADVICE r1 — tie-splitting in-kernel would need a second winners pass per
+tile for a case with no training-relevant mass.
+
 Feature math is imported from ops/pair_features.py — the same definition
 the dense path uses — so the two paths are parity-testable to float
 tolerance (tests/test_pallas_kernel.py).
@@ -259,6 +270,11 @@ def _forward(spec: PoolSpec, colsT, cols, aT, bT, wgT, w2T, b2c) -> Array:
         out_shape=jax.ShapeDtypeStruct((b, p, nr), jnp.float32),
         grid_spec=grid_spec,
         interpret=spec.interpret,
+        # b and i tiles are independent; j carries the streaming-max
+        # accumulator, so it must stay sequential.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ) if not spec.interpret else None,
         cost_estimate=pl.CostEstimate(
             # per pair: FC2 matmul (2*P*P) + ~ (G+4)*P VPU work
             flops=b * nr * nc * (2 * p * p + (spec.num_features + 4) * p),
@@ -480,8 +496,13 @@ def pallas_pair_pool_rect(
     interpret: bool | None = None,
     compute_dtype: str = "bfloat16",
     block_sparse: bool = True,
+    tile_i: int | None = None,
+    tile_j: int | None = None,
 ) -> Array:
     """Rectangular streaming pair stage -> m [B, NR, P].
+
+    ``tile_i``/``tile_j`` override the square ``tile`` (row/col tile
+    shape; ModelConfig.pair_tile_i/j — swept in scripts/tile_sweep.py).
 
     The rectangular form is what detection-axis (pair-row) sharding uses:
     each device owns NR = N/n_det rows but sees all NC = N columns
@@ -506,8 +527,8 @@ def pallas_pair_pool_rect(
         num_features = pf.NUM_PAIR_FEATURES_MC
 
     # Row tiles need sublane (8) granularity, col tiles lane (128).
-    ti = min(tile, _round_up(nr, 8))
-    tj = min(tile, _round_up(nc, 128))
+    ti = min(tile_i or tile, _round_up(nr, 8))
+    tj = min(tile_j or tile, _round_up(nc, 128))
     nr_pad = _round_up(nr, ti)
     nc_pad = _round_up(nc, tj)
     if nr_pad != nr:
@@ -550,6 +571,8 @@ def pallas_pair_pool(
     interpret: bool | None = None,
     compute_dtype: str = "bfloat16",
     block_sparse: bool = True,
+    tile_i: int | None = None,
+    tile_j: int | None = None,
 ) -> Array:
     """Square streaming pair stage: returns m [B, N, P] = masked neighbor
     max. Computes the same function as models.gossipnet.pair_pool_dense
@@ -558,5 +581,5 @@ def pallas_pair_pool(
         cols_stacked, cols_stacked, a, b, params, neighbor_iou,
         row_classes=classes, col_classes=classes,
         tile=tile, interpret=interpret, compute_dtype=compute_dtype,
-        block_sparse=block_sparse,
+        block_sparse=block_sparse, tile_i=tile_i, tile_j=tile_j,
     )

@@ -27,6 +27,7 @@ from jax import Array
 
 from gossipnet_tpu.config import ModelConfig
 from gossipnet_tpu.models.gossipnet import PAD_LOGIT, PairParams
+from gossipnet_tpu.ops import order as ordering
 from gossipnet_tpu.ops import pair_features as pf
 from gossipnet_tpu.ops import ranking
 from gossipnet_tpu.ops.pallas.pairwise import pallas_pair_pool_rect
@@ -74,13 +75,13 @@ def gossipnet_sharded_forward(
     assert n % num_shards == 0, (n, num_shards)
     nloc = n // num_shards
 
-    # Spatial sort for the block-sparse kernel (see models/gossipnet.py);
-    # inputs are replicated over 'det', so every rank computes the same
-    # permutation and the row slicing below stays consistent.
+    # Spatial (Morton) sort for the block-sparse kernel (see
+    # models/gossipnet.py and ops/order.py); inputs are replicated over
+    # 'det', so every rank computes the same permutation and the row
+    # slicing below stays consistent.
     inv_perm = None
     if cfg.sort_detections:
-        sort_key = jnp.where(valid, 0.5 * (boxes[..., 0] + boxes[..., 2]),
-                             jnp.inf)
+        sort_key = ordering.morton_sort_key(boxes, valid)
         perm = jnp.argsort(sort_key, axis=-1)
         inv_perm = jnp.argsort(perm, axis=-1)
         boxes = jnp.take_along_axis(boxes, perm[..., None], axis=-2)
@@ -144,6 +145,7 @@ def gossipnet_sharded_forward(
             interpret=interpret,
             compute_dtype=cfg.pair_matmul_dtype,
             block_sparse=cfg.block_sparse,
+            tile_i=cfg.pair_tile_i, tile_j=cfg.pair_tile_j,
         )                                                 # [B, nloc, P]
         e = m_loc
         for i in range(cfg.expand_hidden_layers - 1):

@@ -1,7 +1,11 @@
-"""Extended benchmark suite: N scaling, sparse vs dense tiles, training.
+"""Extended benchmark suite: N scaling, layouts, sparse vs dense tiles.
 
 Produces the numbers for BENCHMARKS.md (bench.py stays the single-line
-driver bench). Uses the validated device-loop methodology.
+driver bench). Uses the validated device-loop methodology. Layouts
+(VERDICT r1 item 5): clustered = round-1 best case for tile skipping;
+uniform = realistic COCO-like spread; mixed = crowded foreground over
+scattered background; blob = adversarial all-overlapping worst case;
+dense-tiles = block sparsity disabled entirely (the hard floor).
 """
 import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import time, json
@@ -11,6 +15,7 @@ from gossipnet_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 from __graft_entry__ import _synthetic_arrays
 from gossipnet_tpu.config import Config, ModelConfig
+from gossipnet_tpu.data.synthetic import layout_batch
 from gossipnet_tpu.train import build_model
 
 rng = np.random.default_rng(7)
@@ -29,25 +34,30 @@ def measure(model, params, boxes, scores, valid, k_small=10, k_large=40):
         t0=time.perf_counter(); v=float(jnp.sum(loop(s1, K)))
         assert np.isfinite(v)
         return time.perf_counter()-t0
-    ts, tl = run(k_small), run(k_large)
-    return (tl-ts)/(k_large-k_small)
+    # best of 3 marginal estimates (shared chip shows contention noise)
+    return min((run(k_large)-run(k_small))/(k_large-k_small) for _ in range(3))
+
+FLAG = dict(num_blocks=16, feature_dim=128, reduced_dim=32, pairwise_dim=32)
+cases = []
+for N, B in ((1024, 8), (4096, 2)):
+    for layout in ("clustered", "uniform", "mixed", "blob"):
+        cases.append((f"N={N} {layout} sparse", ModelConfig(**FLAG), B, N, layout))
+    cases.append((f"N={N} dense-tiles", ModelConfig(**FLAG, block_sparse=False,
+                                                    sort_detections=False), B, N, "clustered"))
+cases.append(("N=256 clustered sparse", ModelConfig(**FLAG), 16, 256, "clustered"))
 
 results = {}
-for name, mcfg, B, N in [
-    ("N=1024 sparse", ModelConfig(num_blocks=16, feature_dim=128, reduced_dim=32, pairwise_dim=32), 8, 1024),
-    ("N=1024 dense-tiles", ModelConfig(num_blocks=16, feature_dim=128, reduced_dim=32, pairwise_dim=32, block_sparse=False, sort_detections=False), 8, 1024),
-    ("N=4096 sparse (crowd stress)", ModelConfig(num_blocks=16, feature_dim=128, reduced_dim=32, pairwise_dim=32), 2, 4096),
-    ("N=4096 dense-tiles", ModelConfig(num_blocks=16, feature_dim=128, reduced_dim=32, pairwise_dim=32, block_sparse=False, sort_detections=False), 2, 4096),
-    ("N=256 sparse", ModelConfig(num_blocks=16, feature_dim=128, reduced_dim=32, pairwise_dim=32), 16, 256),
-]:
+for name, mcfg, B, N, layout in cases:
     cfg = Config(model=mcfg)
     model = build_model(cfg, pool_impl="pallas")
-    d = _synthetic_arrays(batch=B, n=N, seed=0)
+    d = (_synthetic_arrays(batch=B, n=N, seed=0) if layout == "clustered"
+         else layout_batch(layout, batch=B, n=N, seed=0))
     boxes = jnp.asarray(d.boxes); scores = jnp.asarray(d.scores); valid = jnp.asarray(d.valid)
     params = model.init(jax.random.key(0), boxes, scores, valid)["params"]
     per_iter = measure(model, params, boxes, scores, valid)
     dps = B*N/per_iter
-    results[name] = {"ms_per_fwd": round(per_iter*1e3,3), "dets_per_sec": round(dps,0), "B": B, "N": N}
+    results[name] = {"ms_per_fwd": round(per_iter*1e3,3), "dets_per_sec": round(dps,0),
+                     "B": B, "N": N, "layout": layout}
     print(name, results[name], flush=True)
 print(json.dumps(results), flush=True)
 print("DONE", flush=True)

@@ -1,0 +1,209 @@
+"""Scale-readiness drill (VERDICT r1 item 8).
+
+Real-COCO AP parity is blocked on data in this zero-egress environment,
+but the *pipeline* must be proven at realistic scale before data ever
+appears. This script:
+
+1. ``gen``  — writes a REAL-FORMAT dataset to data/scale_drill/
+   (git-ignored): COCO annotations JSON (5k images, the 80 COCO
+   category ids incl. crowds) + a COCO-results detections JSON
+   (~100 dets/image, jittered around GT like an actual detector dump,
+   person-heavy category mix like COCO).
+2. ``run``  — drives configs 1-3 END TO END from the CLIs against those
+   files: config-1 eval (persons, 1-block), config-2 train N steps +
+   full eval + results export, config-3 multiclass train + eval.
+   Each phase runs as a subprocess; wall time and peak RSS are
+   recorded and printed as JSON (goes into BASELINE.md).
+3. ``eval5k`` — times the 5k-image numpy-fallback COCOEvaluator
+   (< 60 s target without the C++ .so).
+
+Usage: python scripts/scale_drill.py [gen|run|eval5k|all]
+"""
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import json
+import os
+import resource
+import subprocess
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+DATA = ROOT / "data" / "scale_drill"
+N_IMAGES = 5000
+CANVAS_W, CANVAS_H = 640, 480
+
+# COCO-like category mix: person (id 1) ~30% of instances, the rest
+# spread over 79 other ids (real COCO ids are non-contiguous; use a
+# representative non-contiguous id set to exercise the remapping).
+CAT_IDS = [1] + [i for i in range(2, 91) if i not in
+                 (12, 26, 29, 30, 45, 66, 68, 69, 71, 83)][:79]
+
+
+def gen(n_images=N_IMAGES, seed=0):
+    DATA.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    cat_p = np.full(len(CAT_IDS), 0.7 / (len(CAT_IDS) - 1))
+    cat_p[0] = 0.3
+
+    images, annotations, detections = [], [], []
+    ann_id = 1
+    for img_id in range(1, n_images + 1):
+        images.append({"id": img_id, "width": CANVAS_W,
+                       "height": CANVAS_H,
+                       "file_name": f"drill_{img_id:06d}.jpg"})
+        n_gt = int(rng.integers(2, 22))
+        for _ in range(n_gt):
+            cid = int(rng.choice(CAT_IDS, p=cat_p))
+            w = float(rng.uniform(12, 200)); h = float(rng.uniform(12, 200))
+            x = float(rng.uniform(0, CANVAS_W - w))
+            y = float(rng.uniform(0, CANVAS_H - h))
+            crowd = int(rng.uniform() < 0.04)
+            annotations.append({
+                "id": ann_id, "image_id": img_id, "category_id": cid,
+                "bbox": [x, y, w, h], "area": w * h, "iscrowd": crowd,
+            })
+            ann_id += 1
+            # detector dump: 3-7 jittered dets per (non-crowd) GT
+            if not crowd:
+                for _ in range(int(rng.integers(3, 8))):
+                    jit = rng.normal(0, 0.12 * min(w, h), size=4)
+                    bw = max(w + jit[2], 4.0); bh = max(h + jit[3], 4.0)
+                    detections.append({
+                        "image_id": img_id, "category_id": cid,
+                        "bbox": [x + jit[0], y + jit[1], bw, bh],
+                        "score": float(np.clip(
+                            rng.normal(0.55, 0.22), 0.01, 0.999)),
+                    })
+        # background false positives
+        for _ in range(int(rng.integers(10, 30))):
+            cid = int(rng.choice(CAT_IDS, p=cat_p))
+            w = float(rng.uniform(12, 160)); h = float(rng.uniform(12, 160))
+            detections.append({
+                "image_id": img_id, "category_id": cid,
+                "bbox": [float(rng.uniform(0, CANVAS_W - w)),
+                         float(rng.uniform(0, CANVAS_H - h)), w, h],
+                "score": float(np.clip(rng.normal(0.35, 0.2), 0.01, 0.999)),
+            })
+
+    ann = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": c, "name": f"cat_{c}" if c != 1 else "person",
+                        "supercategory": "drill"} for c in CAT_IDS],
+    }
+    (DATA / "annotations.json").write_text(json.dumps(ann))
+    (DATA / "detections.json").write_text(json.dumps(detections))
+    print(f"gen: {n_images} images, {len(annotations)} anns, "
+          f"{len(detections)} dets -> {DATA}", flush=True)
+
+
+def _yaml(name: str, text: str) -> str:
+    p = DATA / name
+    p.write_text(text)
+    return str(p)
+
+
+def _run_phase(name: str, argv: list[str], env=None) -> dict:
+    t0 = time.monotonic()
+    before = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    proc = subprocess.run(argv, cwd=ROOT, env=env or os.environ.copy(),
+                          capture_output=True, text=True)
+    wall = time.monotonic() - t0
+    rss = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    ok = proc.returncode == 0
+    tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-12:])
+    print(f"--- {name}: {'ok' if ok else 'FAILED'} wall={wall:.1f}s "
+          f"peak_rss={rss/1e6:.2f}GB\n{tail if not ok else ''}", flush=True)
+    if not ok:
+        raise SystemExit(f"{name} failed")
+    return {"wall_s": round(wall, 1), "peak_rss_gb": round(rss / 1e6, 2),
+            "tail": tail.splitlines()[-3:]}
+
+
+def run(train_steps=300):
+    ann = str(DATA / "annotations.json")
+    det = str(DATA / "detections.json")
+    common_data = (
+        f"data:\n  dataset: coco\n  ann_file: {ann}\n  det_file: {det}\n"
+        "  max_detections: 1024\n  bucket_sizes: [256, 512, 1024]\n"
+    )
+    y1 = _yaml("cfg1.yaml", (
+        "model: {num_blocks: 1, feature_dim: 128, reduced_dim: 32, "
+        "pairwise_dim: 32, num_classes: 1}\n"
+        f"{common_data}  person_only: true\n"
+        f"train: {{batch_size: 8, checkpoint_dir: {DATA}/ck1}}\n"
+    ))
+    y2 = _yaml("cfg2.yaml", (
+        "model: {num_blocks: 16, feature_dim: 128, reduced_dim: 32, "
+        "pairwise_dim: 32, num_classes: 1}\n"
+        "matching: {thresholds: [0.5], crowd_as_ignore: true}\n"
+        f"{common_data}  person_only: true\n"
+        "train: {optimizer: adam, learning_rate: 1.0e-4, "
+        f"max_steps: {train_steps}, batch_size: 8, grad_clip_norm: 10.0, "
+        "snapshot_every: 0, eval_every: 0, log_every: 100, "
+        f"checkpoint_dir: {DATA}/ck2}}\n"
+    ))
+    y3 = _yaml("cfg3.yaml", (
+        "model: {num_blocks: 16, feature_dim: 128, reduced_dim: 32, "
+        "pairwise_dim: 32, num_classes: 80, class_embed_dim: 32}\n"
+        "matching: {thresholds: [0.5], class_aware: true}\n"
+        f"{common_data}  person_only: false\n"
+        "train: {optimizer: adam, learning_rate: 1.0e-4, "
+        f"max_steps: {max(train_steps * 2 // 3, 100)}, batch_size: 8, "
+        "grad_clip_norm: 10.0, snapshot_every: 0, eval_every: 0, "
+        f"log_every: 100, checkpoint_dir: {DATA}/ck3}}\n"
+    ))
+    py = sys.executable
+    out = {
+        "config1_eval_persons": _run_phase(
+            "config-1 eval (persons, 1-block, 5k images)",
+            [py, "-m", "gossipnet_tpu.evaluate", "-c", y1]),
+        "config2_train_persons": _run_phase(
+            f"config-2 train (persons, 16-block, {train_steps} steps)",
+            [py, "-m", "gossipnet_tpu.train", "-c", y2,
+             "--metrics", str(DATA / "m2.jsonl")]),
+        "config2_eval": _run_phase(
+            "config-2 eval (trained ckpt, 5k images)",
+            [py, "-m", "gossipnet_tpu.evaluate", "-c", y2]),
+        "config3_train_80cls": _run_phase(
+            "config-3 train (80-class, 16-block)",
+            [py, "-m", "gossipnet_tpu.train", "-c", y3,
+             "--metrics", str(DATA / "m3.jsonl")]),
+        "config3_eval": _run_phase(
+            "config-3 eval (80-class, 5k images)",
+            [py, "-m", "gossipnet_tpu.evaluate", "-c", y3]),
+    }
+    print(json.dumps(out), flush=True)
+
+
+def eval5k():
+    """numpy-fallback COCOEvaluator over the full 5k drill images."""
+    from gossipnet_tpu.data.roidb import build_roidb
+    from gossipnet_tpu.eval.cocoeval import COCOEvaluator
+
+    roidb = build_roidb(str(DATA / "annotations.json"),
+                        str(DATA / "detections.json"),
+                        person_only=False, max_dets=1024)
+    ev = COCOEvaluator(num_classes=roidb.num_classes, force_numpy=True)
+    for rec in roidb:
+        ev.add_arrays(rec.image_id, rec.det_boxes, rec.det_scores,
+                      rec.det_classes, rec.gt_boxes, rec.gt_classes,
+                      rec.gt_crowd)
+    t0 = time.monotonic()
+    stats = ev.summarize()
+    dt = time.monotonic() - t0
+    print(json.dumps({"images": len(roidb), "eval_wall_s": round(dt, 1),
+                      "numpy_fallback": True, "AP": round(stats["AP"], 4),
+                      "AP50": round(stats["AP50"], 4)}), flush=True)
+    assert dt < 60.0, f"5k numpy-fallback eval took {dt:.1f}s (target <60s)"
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if what in ("gen", "all"):
+        gen()
+    if what in ("eval5k", "all"):
+        eval5k()
+    if what in ("run", "all"):
+        run()

@@ -113,3 +113,34 @@ def test_train_cli_smoke(tmp_path, monkeypatch):
                     "--metrics", str(tmp_path / "m.jsonl"),
                     "--pool-impl", "dense"])
     assert (tmp_path / "m.jsonl").exists() or True  # loop ran without error
+
+
+def test_rescore_stream_matches_batch():
+    """Double-buffered stream == batch results, in input order, across
+    mixed shape buckets."""
+    cfg = _cfg()
+    rescorer, roidb = _make_rescorer(cfg)
+    rng = np.random.default_rng(3)
+    images = []
+    for i in range(11):   # odd count, varying sizes -> mixed buckets
+        n = int(rng.integers(5, 120))
+        from tests.conftest import random_boxes
+
+        images.append((random_boxes(rng, n),
+                       rng.uniform(0, 1, n).astype(np.float32), None))
+    ref = rescorer.rescore_batch(images, batch_size=4)
+    got = dict(rescorer.rescore_stream(images, batch_size=4))
+    assert sorted(got) == list(range(len(images)))
+    for i, r in enumerate(ref):
+        np.testing.assert_allclose(got[i], r, rtol=1e-5, atol=1e-6)
+
+
+def test_rescore_stream_multiclass_guard():
+    cfg = _cfg(num_classes=4)
+    rescorer, roidb = _make_rescorer(cfg)
+    rec = roidb.records[0]
+    import pytest
+
+    with pytest.raises(ValueError, match="class ids"):
+        list(rescorer.rescore_stream([(rec.det_boxes, rec.det_scores,
+                                       None)]))
