@@ -272,17 +272,38 @@ class COCOEvaluator:
         per_combo: dict = {c: [[] for _ in range(k)] for c in _COMBOS}
 
         for img in self.images:
-            for ci in range(k):
-                dmask = img.det_classes == ci
-                gmask = img.gt_classes == ci
-                db, ds = img.det_boxes[dmask], img.det_scores[dmask]
-                gb, gc = img.gt_boxes[gmask], img.gt_crowd[gmask]
-                if len(ds) == 0 and len(gb) == 0:
+            # One desc-score stable sort per image, then a stable
+            # group-by-class: within each class the relative order is
+            # identical to a per-class `argsort(-scores, kind="stable")`
+            # (stable sorts compose), so results are bit-equal to the
+            # per-class-mask formulation but cost O(1) sorts per image
+            # instead of O(num_classes).
+            dord = np.argsort(-img.det_scores, kind="stable")
+            dgrp = np.argsort(img.det_classes[dord], kind="stable")
+            dsel = dord[dgrp]
+            db_s, ds_s = img.det_boxes[dsel], img.det_scores[dsel]
+            dcls_s = img.det_classes[dsel]
+            det_area_s = _box_area(db_s)
+            # GTs: stable group-by-class preserves original order within
+            # a class (the tie rule depends on it).
+            ggrp = np.argsort(img.gt_classes, kind="stable")
+            gb_s, gcls_s = img.gt_boxes[ggrp], img.gt_classes[ggrp]
+            gc_s = img.gt_crowd[ggrp]
+            gt_area_s = _box_area(gb_s)
+            present = np.union1d(dcls_s, gcls_s)
+            d_lo = np.searchsorted(dcls_s, present, side="left")
+            d_hi = np.searchsorted(dcls_s, present, side="right")
+            g_lo = np.searchsorted(gcls_s, present, side="left")
+            g_hi = np.searchsorted(gcls_s, present, side="right")
+            for pi, ci in enumerate(present):
+                ci = int(ci)
+                if not 0 <= ci < k:
                     continue
-                dord = np.argsort(-ds, kind="stable")
-                db, ds = db[dord], ds[dord]
-                det_area = _box_area(db)
-                gt_area = _box_area(gb)
+                dsl = slice(d_lo[pi], d_hi[pi])
+                gsl = slice(g_lo[pi], g_hi[pi])
+                db, ds = db_s[dsl], ds_s[dsl]
+                gb, gc = gb_s[gsl], gc_s[gsl]
+                det_area, gt_area = det_area_s[dsl], gt_area_s[gsl]
                 ious = (None if use_native
                         else _np_iou_xyxy(db, gb, gc))
                 # 'all' area once at maxDet=100; the 1/10 caps are
@@ -298,10 +319,28 @@ class COCOEvaluator:
                     per_combo[("all", 10)][ci].append(
                         _prefix_result(r100, 10))
                 for area in ("small", "medium", "large"):
-                    r = _evaluate_combo(
-                        db, ds, det_area, ious, gb, gt_area, gc,
-                        AREA_RANGES[area], 100, use_native,
-                    )
+                    rng = AREA_RANGES[area]
+                    gt_in = ((gt_area >= rng[0]) & (gt_area <= rng[1]))
+                    if bool(gt_in.all()):
+                        # Every GT inside the range (or no GT at all) ⇒
+                        # gt_ignore equals the 'all' range's (== gt_crowd)
+                        # ⇒ the greedy matching is bit-identical to r100;
+                        # only the det out-of-range ignore clause differs.
+                        n = len(r100.dt_scores)
+                        oor = ((det_area[:n] < rng[0])
+                               | (det_area[:n] > rng[1]))
+                        r = _ImgResult(
+                            dt_scores=r100.dt_scores,
+                            dt_matched=r100.dt_matched,
+                            dt_ignore=r100.dt_ignore
+                            | ((~r100.dt_matched) & oor[None, :]),
+                            num_gt=r100.num_gt,
+                        )
+                    else:
+                        r = _evaluate_combo(
+                            db, ds, det_area, ious, gb, gt_area, gc,
+                            rng, 100, use_native,
+                        )
                     if r is not None:
                         per_combo[(area, 100)][ci].append(r)
 

@@ -253,6 +253,7 @@ def test_numpy_fallback_speed_1k_images():
     s = ev.summarize()
     dt = time.monotonic() - t0
     assert np.isfinite(s["AP"])
-    # Measured 8.5 s => 5k images ~42 s, under the 60 s target
-    # (scripts/scale_drill.py runs the full 5k); generous CI headroom.
+    # Measured ~4.9 s on a slow shared host (=> 5k images ~25 s, well
+    # under the 60 s target; scripts/scale_drill.py runs the full 5k).
+    # 15 s keeps ~3x headroom for machine variance.
     assert dt < 15.0, f"fallback eval too slow: {dt:.1f}s for 1k images"
