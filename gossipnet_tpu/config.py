@@ -111,9 +111,10 @@ class TrainConfig:
 
 @dataclass(frozen=True)
 class DataConfig:
-    dataset: str = "synthetic"       # 'synthetic' | 'coco'
-    ann_file: str = ""               # COCO annotation json
-    det_file: str = ""               # precomputed detections (npz/json/pkl)
+    dataset: str = "synthetic"       # 'synthetic' | 'coco' | 'pets'
+    ann_file: str = ""               # COCO annotation json / PETS CVML xml
+    det_file: str = ""               # precomputed detections
+    #                                  (coco: npz/json; pets: xml/csv/npz)
     person_only: bool = True         # persons subset vs all 80 classes
     max_detections: int = 1024       # cap (score-ranked) per image, pad to N
     bucket_sizes: Sequence[int] = (256, 512, 1024, 2048, 4096)

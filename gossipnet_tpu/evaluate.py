@@ -165,6 +165,11 @@ def main(argv=None) -> None:
 
         roidb = synthetic_roidb(num_images=64, seed=123,
                                 num_classes=cfg.model.num_classes)
+    elif cfg.data.dataset == "pets":
+        from gossipnet_tpu.data.pets import build_pets_roidb
+
+        roidb = build_pets_roidb(cfg.data.ann_file, cfg.data.det_file,
+                                 max_dets=cfg.data.max_detections)
     else:
         from gossipnet_tpu.data.roidb import build_roidb
 

@@ -370,6 +370,14 @@ def main(argv: list[str] | None = None) -> None:
             num_images=32, seed=cfg.train.seed + 1,
             num_classes=cfg.model.num_classes,
         )
+    elif cfg.data.dataset == "pets":
+        from gossipnet_tpu.data.pets import build_pets_roidb
+
+        roidb = build_pets_roidb(
+            cfg.data.ann_file, cfg.data.det_file,
+            max_dets=cfg.data.max_detections,
+        )
+        val = None
     else:
         from gossipnet_tpu.data.roidb import build_roidb
 
