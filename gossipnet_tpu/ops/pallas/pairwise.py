@@ -23,11 +23,21 @@ padding; per-detection tensors are carried transposed as [B, P, N]
 (lane = detection axis, always a 128-multiple after bucket padding).
 
 The backward pass is a custom VJP (flash style): nothing from the forward
-is saved except the output m; two mirror kernels recompute tiles and
-route gradients through the max winners — one accumulates row gradients
-(d_a) + weight gradients over the j axis, the other accumulates column
-gradients (d_b) over the i axis with a transposed grid, because a Pallas
-output block may only be revisited on consecutive grid steps.
+is saved except the output m (kept in the packed kernel row layout so the
+win-mask comparison h2 == m is exact); a single fused kernel recomputes
+tiles and routes gradients through the max winners, accumulating row
+gradients (d_a) + weight gradients over the j axis and writing partial
+d_b blocks per (i, j) tile that XLA sums afterwards.
+
+Measured v5e layout facts baked into this file (see git history r2):
+- Broadcasting the row term [P, TI] across lanes is a Mosaic relayout
+  worth ~1.9 us/tile — hoisted into VMEM scratch once per row tile.
+- kron(I, W) block-diagonal weight packing (spec.packed) fixes the
+  1/16 MXU utilization of the P=32 dots but measures 8% SLOWER end to
+  end (dots overlap VPU work; packing adds concat relayouts) — kept
+  available but off by default.
+- Mosaic cannot lane-split inside a kernel ("unsupported shape cast"),
+  so all row-layout packing happens XLA-side (_pack_rows_xla).
 
 KNOWN (documented) VJP divergence on exact ties: the backward routes dm
 to EVERY position where h2 == m (the win mask), so pair activations that
@@ -82,6 +92,16 @@ class PoolSpec:
     # detections are sorted spatially (ModelConfig.sort_detections):
     # neighbors then concentrate near the diagonal and most tiles skip.
     block_sparse: bool = True
+    # MXU block-diagonal weight packing (forward): with P=32 the pair
+    # FCs contract over 32 of 128 MXU rows (1/16 utilization). Packing
+    # `128 // P` column-chunks of the tile into the row dimension against
+    # kron(I, W) turns both dots into full-width [128, ...] matmuls.
+    # The chunk reshapes are pure vreg renamings (lane index unchanged).
+    packed: bool = False
+
+    @property
+    def pack(self) -> int:
+        return 128 // self.p if self.packed else 1
 
 
 def _tile_columns(ref_slice: Array, axis: int) -> pf.DetColumns:
@@ -100,12 +120,21 @@ def _tile_columns(ref_slice: Array, axis: int) -> pf.DetColumns:
 
 
 def _tile_forward(
-    spec: PoolSpec, colsT_t, cols_t, aT_t, bT_t, wgT, w2T, b2c
+    spec: PoolSpec, colsT_t, cols_t, aT_t, bT_t, wgT, w2T, b2c,
+    a_bcast=None,
 ):
-    """Shared tile computation -> (feats list, neighbor mask, h1_3d, h2_3d).
+    """Shared tile computation -> (g_stack, neighbor mask, h1_3d, h2_3d).
 
-    colsT_t: [TI, C_total]; cols_t: [C_total, TJ]; aT_t: [P, TI];
-    bT_t: [P, TJ]; wgT: [P, G]; w2T: [P, P] (= w2 transposed); b2c: [P, 1].
+    colsT_t: [TI, C_total]; cols_t: [C_total, TJ];
+    aT_t: [pk*P, TI/pk] (pre-packed row layout, _pack_rows_xla);
+    bT_t: [P, TJ]; wgT/w2T/b2c: kron(I_pk, .) packed weights.
+
+    ``a_bcast`` ([pk*P, TI/pk, TJ]) is the row term already broadcast
+    along the lane axis. Broadcasting aT_t (row index on lanes) into the
+    pair tensor (row index on sublanes) is a Mosaic relayout — ~1.9
+    us/tile measured on v5e, the single most expensive elementwise op in
+    the kernel — so the streaming kernels hoist it into VMEM scratch
+    once per row tile and pass it in; None recomputes inline.
     """
     ti, tj, p = spec.ti, spec.tj, spec.p
     ci = _tile_columns(colsT_t, 0)
@@ -119,30 +148,43 @@ def _tile_forward(
     feats = pf.pair_feature_list(ci, cj, iou=iou, class_match=class_match)
 
     mm = jnp.dtype(spec.compute_dtype)
-    # Feature projection g @ Wg on the MXU: stacking the G feature planes
-    # into [G, TI*TJ] turns what was G broadcast-FMA passes over the
-    # [P, TI, TJ] tensor (the VPU bottleneck) into one skinny matmul.
+    pk = spec.pack
+    # Packed form (pk == 1 degenerates to the plain layout): fold `pk`
+    # row-chunks of the tile into the MXU row dimension against
+    # kron(I, W) weights — full-width [128, ...] dots instead of
+    # 1/16-utilized [P, ...] ones. Only Mosaic-safe casts are used:
+    # static sublane-boundary slices, (sublane, lane) minor-dim merges,
+    # and major-axis concats — never a lane split. ``aT_t`` arrives
+    # pre-packed [pk*P, TI/pk] (XLA-side, _pack_rows_xla).
+    tipk, mp = ti // pk, (ti // pk) * tj
+    # g_stack rows are ordered (chunk-major, feature-minor) to match
+    # kron(I_pk, wgT)'s column blocks. Feature projection g @ Wg runs
+    # on the MXU: one skinny matmul instead of G broadcast-FMA passes
+    # over the [P, TI, TJ] tensor (the VPU bottleneck).
     g_stack = jnp.concatenate(
-        [g.reshape(1, ti * tj) for g in feats], axis=0
-    )                                                   # [G, M]
+        [g[q * tipk:(q + 1) * tipk, :].reshape(1, mp)
+         for q in range(pk) for g in feats],
+        axis=0,
+    )                                                   # [pk*G, M/pk]
     gw = jax.lax.dot_general(
         wgT.astype(mm), g_stack.astype(mm),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(p, ti, tj)
-    u1 = aT_t[:, :, None] + bT_t[:, None, :] + gw       # [P, TI, TJ]
-    h1 = jnp.maximum(u1, 0.0)
-
-    h1_2d = h1.reshape(p, ti * tj)
+    ).reshape(pk * p, tipk, tj)
+    if a_bcast is None:
+        a_bcast = aT_t[:, :, None]                      # [pk*P, TI/pk, 1]
+    b_term = (bT_t if pk == 1
+              else jnp.tile(bT_t, (pk, 1)))[:, None, :]  # [pk*P, 1, TJ]
+    h1 = jnp.maximum(a_bcast + b_term + gw, 0.0)        # [pk*P, TIpk, TJ]
     pre2 = (
         jax.lax.dot_general(
-            w2T.astype(mm), h1_2d.astype(mm),
+            w2T.astype(mm), h1.reshape(pk * p, mp).astype(mm),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         + b2c
     )
-    h2 = jnp.maximum(pre2, 0.0).reshape(p, ti, tj)
+    h2 = jnp.maximum(pre2, 0.0).reshape(pk * p, tipk, tj)
 
     neighbor = (
         (iou >= spec.neighbor_iou)
@@ -150,6 +192,26 @@ def _tile_forward(
         & (cj.valid > 0.0)
     )                                                   # [TI, TJ]
     return g_stack, neighbor, h1, h2
+
+
+def _pack_neighbor(spec: PoolSpec, neighbor):
+    """[TI, TJ] mask -> packed [pk*P, TI/pk, TJ] (slices + major concat)."""
+    pk, p, tipk = spec.pack, spec.p, spec.ti // spec.pack
+    if pk == 1:
+        return neighbor[None, :, :]
+    return jnp.concatenate(
+        [jnp.broadcast_to(
+            neighbor[q * tipk:(q + 1) * tipk, :][None, :, :],
+            (p, tipk, spec.tj))
+         for q in range(pk)],
+        axis=0,
+    )
+
+
+def _row_max(spec: PoolSpec, neighbor, h2):
+    """Masked row max in the kernel row layout: [pk*P, TI/pk]."""
+    masked = jnp.where(_pack_neighbor(spec, neighbor), h2, NEG_INF)
+    return jnp.max(masked, axis=2)
 
 
 # ---------------------------------------------------------------------------
@@ -199,48 +261,88 @@ def _flat_flag_index(b_idx, i, j, ni, nj):
 # ---------------------------------------------------------------------------
 
 
+def _pack_rows_xla(spec: PoolSpec, x):
+    """[B, P, NR] -> [B, NI, pk*P, TI/pk], the kernel's row layout.
+
+    Row q*P + p of tile i holds detections [i*TI + q*TIpk, ...). Done in
+    XLA: Mosaic cannot lane-split inside a kernel ("unsupported shape
+    cast"), and pre-tiling also deletes the [P, TI] -> [P, TI, 1]
+    transpose that used to run per row tile."""
+    b, p, nr = x.shape
+    pk, ti = spec.pack, spec.ti
+    ni, tipk = nr // ti, ti // pk
+    return (x.reshape(b, p, ni, pk, tipk).transpose(0, 2, 3, 1, 4)
+            .reshape(b, ni, pk * p, tipk))
+
+
+def _unpack_rows_xla(spec: PoolSpec, y):
+    """Inverse of _pack_rows_xla: [B, NI, pk*P, TI/pk] -> [B, P, NR]."""
+    b, ni, pkp, tipk = y.shape
+    pk = spec.pack
+    p = pkp // pk
+    return (y.reshape(b, ni, pk, p, tipk).transpose(0, 3, 1, 2, 4)
+            .reshape(b, p, ni * pk * tipk))
+
+
 def _fwd_kernel(flags_ref, colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref,
-                w2T_ref, b2_ref, out_ref, *, spec: PoolSpec):
+                w2T_ref, b2_ref, out_ref, a_scr, *, spec: PoolSpec):
     b_idx, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     ni, nj = pl.num_programs(1), pl.num_programs(2)
     active = flags_ref[_flat_flag_index(b_idx, i, j, ni, nj)] > 0
 
     @pl.when(j == 0)
     def _():
-        out_ref[0] = jnp.full((spec.p, spec.ti), NEG_INF, jnp.float32)
+        out_ref[0, 0] = jnp.full(out_ref.shape[2:], NEG_INF, jnp.float32)
+        # Row term broadcast hoisted out of the j loop (see _tile_forward).
+        a_scr[:] = jnp.broadcast_to(aT_ref[0, 0][:, :, None], a_scr.shape)
 
     @pl.when(active)
     def _():
         _, neighbor, _, h2 = _tile_forward(
-            spec, colsT_ref[0], cols_ref[0], aT_ref[0], bT_ref[0],
-            wgT_ref[:], w2T_ref[:], b2_ref[:],
+            spec, colsT_ref[0], cols_ref[0], aT_ref[0, 0], bT_ref[0],
+            wgT_ref[:], w2T_ref[:], b2_ref[:], a_bcast=a_scr[:],
         )
-        masked = jnp.where(neighbor[None, :, :], h2, NEG_INF)
-        out_ref[0] = jnp.maximum(out_ref[0], jnp.max(masked, axis=2))
+        out_ref[0, 0] = jnp.maximum(
+            out_ref[0, 0], _row_max(spec, neighbor, h2))
 
     @pl.when(j == nj - 1)
     def _():
-        out_ref[0] = jnp.where(out_ref[0] <= NEG_INF / 2, 0.0, out_ref[0])
+        out_ref[0, 0] = jnp.where(
+            out_ref[0, 0] <= NEG_INF / 2, 0.0, out_ref[0, 0])
 
 
 def _pool_specs(spec: PoolSpec, c_total: int):
-    p, ti, tj = spec.p, spec.ti, spec.tj
+    p, ti, tj, pk = spec.p, spec.ti, spec.tj, spec.pack
     return [
         pl.BlockSpec((1, ti, c_total), lambda b_, i, j, *_: (b_, i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c_total, tj), lambda b_, i, j, *_: (b_, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, ti), lambda b_, i, j, *_: (b_, 0, i),
+        # aT in the pre-packed row layout [B, NI, pk*P, TI/pk].
+        pl.BlockSpec((1, 1, pk * p, ti // pk),
+                     lambda b_, i, j, *_: (b_, i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, p, tj), lambda b_, i, j, *_: (b_, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((p, spec.num_features), lambda b_, i, j, *_: (0, 0),
+        # Weight blocks are kron(I_pk, W) when packed (pk > 1).
+        pl.BlockSpec((pk * p, pk * spec.num_features),
+                     lambda b_, i, j, *_: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((p, p), lambda b_, i, j, *_: (0, 0),
+        pl.BlockSpec((pk * p, pk * p), lambda b_, i, j, *_: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((p, 1), lambda b_, i, j, *_: (0, 0),
+        pl.BlockSpec((pk * p, 1), lambda b_, i, j, *_: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
+
+
+def _packed_weights(spec: PoolSpec, wgT, w2T, b2c):
+    """kron(I, W) block-diagonal weights for the packed dots."""
+    pk = spec.pack
+    if pk == 1:
+        return wgT, w2T, b2c
+    eye = jnp.eye(pk, dtype=wgT.dtype)
+    return (jnp.kron(eye, wgT), jnp.kron(eye, w2T),
+            jnp.tile(b2c, (pk, 1)))
 
 
 def _make_flags(spec: PoolSpec, colsT, cols) -> Array:
@@ -258,16 +360,25 @@ def _forward(spec: PoolSpec, colsT, cols, aT, bT, wgT, w2T, b2c) -> Array:
     p, ti, tj = spec.p, spec.ti, spec.tj
     ni, nj = nr // ti, nc // tj
     flags = _make_flags(spec, colsT, cols)
+    pk = spec.pack
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, ni, nj),
         in_specs=_pool_specs(spec, c_total),
-        out_specs=pl.BlockSpec((1, p, ti), lambda b_, i, j, *_: (b_, 0, i),
+        out_specs=pl.BlockSpec((1, 1, pk * p, ti // pk),
+                               lambda b_, i, j, *_: (b_, i, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((pk * p, ti // pk, tj), jnp.float32)
+        ],
     )
+    wgT_in, w2T_in, b2_in = _packed_weights(spec, wgT, w2T, b2c)
+    # Output stays in the packed row layout; _pair_pool_fwd keeps it for
+    # the backward's exact h2 == m comparison and unpacks for the caller.
     return pl.pallas_call(
         functools.partial(_fwd_kernel, spec=spec),
-        out_shape=jax.ShapeDtypeStruct((b, p, nr), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, ni, pk * p, ti // pk), jnp.float32),
         grid_spec=grid_spec,
         interpret=spec.interpret,
         # b and i tiles are independent; j carries the streaming-max
@@ -281,7 +392,8 @@ def _forward(spec: PoolSpec, colsT, cols, aT, bT, wgT, w2T, b2c) -> Array:
             bytes_accessed=b * (nr + nc) * (c_total + 2 * p) * 4,
             transcendentals=0,
         ),
-    )(flags, colsT, cols, aT, bT, wgT, w2T, b2c)
+    )(flags, colsT, cols, _pack_rows_xla(spec, aT), bT,
+      wgT_in, w2T_in, b2_in)
 
 
 # ---------------------------------------------------------------------------
@@ -290,32 +402,63 @@ def _forward(spec: PoolSpec, colsT, cols, aT, bT, wgT, w2T, b2c) -> Array:
 
 
 def _tile_backward_core(spec: PoolSpec, colsT_ref, cols_ref, aT_ref, bT_ref,
-                        wgT_ref, w2T_ref, b2_ref, w2_ref, m_ref, dm_ref):
-    """Shared backward tile recompute -> (g_stack, h1_2d, dpre1 [P, M])."""
-    p, ti, tj = spec.p, spec.ti, spec.tj
+                        wgT_ref, w2T_ref, b2_ref, w2_ref, m_ref, dm_ref,
+                        a_bcast=None):
+    """Shared backward tile recompute -> (g_stack, h1_2d, dpre2, dpre1).
+
+    MUST recompute h2 with the SAME layout (packed or not) as the
+    forward: the win mask is an exact `h2 == m` comparison, and the
+    packed dots group f32 sums differently, so a layout mismatch between
+    forward and recompute silently zeroes almost every gradient.
+    In packed mode all returned 2-D tensors are in the packed row order
+    ([pk*P, M/pk] / [pk*G, M/pk]).
+    """
+    p, ti, tj, pk = spec.p, spec.ti, spec.tj, spec.pack
     g_stack, neighbor, h1, h2 = _tile_forward(
-        spec, colsT_ref[0], cols_ref[0], aT_ref[0], bT_ref[0],
-        wgT_ref[:], w2T_ref[:], b2_ref[:],
+        spec, colsT_ref[0], cols_ref[0], aT_ref[0, 0], bT_ref[0],
+        wgT_ref[:], w2T_ref[:], b2_ref[:], a_bcast=a_bcast,
     )
-    m_t, dm_t = m_ref[0], dm_ref[0]                      # [P, TI]
-    win = neighbor[None, :, :] & (h2 == m_t[:, :, None])
+    mp = (ti // pk) * tj
+    m_t = m_ref[0, 0]                                    # [pk*P, TI/pk]
+    dm_t = dm_ref[0, 0]
+    win = _pack_neighbor(spec, neighbor) & (h2 == m_t[:, :, None])
     dh2 = jnp.where(win, dm_t[:, :, None], 0.0)
-    dpre2 = jnp.where(h2 > 0.0, dh2, 0.0).reshape(p, ti * tj)
-    h1_2d = h1.reshape(p, ti * tj)
+    dpre2 = jnp.where(h2 > 0.0, dh2, 0.0).reshape(pk * p, mp)
+    h1_2d = h1.reshape(pk * p, mp)
     mm = jnp.dtype(spec.compute_dtype)
-    # dh1 = w2 @ dpre2
+    # dh1 = w2 @ dpre2 (w2_ref is kron(I, w2) when packed)
     dh1 = jax.lax.dot_general(
         w2_ref[:].astype(mm), dpre2.astype(mm),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dpre1 = jnp.where(h1_2d > 0.0, dh1, 0.0)             # [P, M]
+    dpre1 = jnp.where(h1_2d > 0.0, dh1, 0.0)             # [pk*P, M/pk]
     return g_stack, h1_2d, dpre2, dpre1
+
+
+def _diag_blocks(spec: PoolSpec, full, cols_per_block: int):
+    """Sum the diagonal [P, cols] blocks of a [pk*P, pk*cols] matrix
+    (static slices — Mosaic-safe, and the operands are tiny)."""
+    pk, p = spec.pack, spec.p
+    acc = full[:p, :cols_per_block]
+    for q in range(1, pk):
+        acc = acc + full[q * p:(q + 1) * p,
+                         q * cols_per_block:(q + 1) * cols_per_block]
+    return acc
+
+
+def _sum_row_chunks(spec: PoolSpec, x):
+    """[pk*P, ...] -> [P, ...] summing the pk row chunks (static slices)."""
+    pk, p = spec.pack, spec.p
+    acc = x[:p]
+    for q in range(1, pk):
+        acc = acc + x[q * p:(q + 1) * p]
+    return acc
 
 
 def _bwd_row_kernel(flags_ref, colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref,
                     w2T_ref, b2_ref, w2_ref, m_ref, dm_ref,
-                    da_ref, dwg_ref, dw2_ref, db2_ref, dbp_ref,
+                    da_ref, dwg_ref, dw2_ref, db2_ref, dbp_ref, a_scr,
                     *, spec: PoolSpec):
     """Single fused backward pass: grid (B, I, J), j innermost.
 
@@ -330,9 +473,14 @@ def _bwd_row_kernel(flags_ref, colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref,
     p, ti, tj = spec.p, spec.ti, spec.tj
     active = flags_ref[_flat_flag_index(b_idx, i, j, ni, nj)] > 0
 
+    pk = spec.pack
+    tipk = ti // pk
+
     @pl.when(j == 0)
     def _():
-        da_ref[0] = jnp.zeros((p, ti), jnp.float32)
+        da_ref[0, 0] = jnp.zeros((pk * p, tipk), jnp.float32)
+        # Row term broadcast hoisted out of the j loop (see _tile_forward).
+        a_scr[:] = jnp.broadcast_to(aT_ref[0, 0][:, :, None], a_scr.shape)
 
     @pl.when((b_idx == 0) & (i == 0) & (j == 0))
     def _():
@@ -345,24 +493,38 @@ def _bwd_row_kernel(flags_ref, colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref,
         g_stack, h1_2d, dpre2, dpre1 = _tile_backward_core(
             spec, colsT_ref, cols_ref, aT_ref, bT_ref,
             wgT_ref, w2T_ref, b2_ref, w2_ref, m_ref, dm_ref,
-        )
+            a_bcast=a_scr[:],
+        )                  # all [pk*P / pk*G rows, M/pk] packed 2-D
         mm = jnp.dtype(spec.compute_dtype)
-        dpre1_3d = dpre1.reshape(p, ti, tj)
-        da_ref[0] = da_ref[0] + jnp.sum(dpre1_3d, axis=2)
-        dbp_ref[0, 0] = jnp.sum(dpre1_3d, axis=1)        # [P, TJ]
-        # dwgT[p, k] = sum_m dpre1[p, m] g_stack[k, m] — on the MXU.
-        dwg_ref[:] = dwg_ref[:] + jax.lax.dot_general(
-            dpre1.astype(mm), g_stack.astype(mm),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        dpre1_3d = dpre1.reshape(pk * p, tipk, tj)
+        # d_a stays in the packed row layout; XLA unpacks afterwards.
+        da_ref[0, 0] = da_ref[0, 0] + jnp.sum(dpre1_3d, axis=2)
+        # d_b / d_b2 sum over the row axis — chunks contribute additively.
+        dbp_ref[0, 0] = _sum_row_chunks(
+            spec, jnp.sum(dpre1_3d, axis=1))             # [P, TJ]
+        # dwgT[p, k] = sum_m dpre1[p, m] g_stack[k, m] — on the MXU; the
+        # packed dot yields [pk*P, pk*G] whose diagonal blocks sum to it.
+        dwg_ref[:] = dwg_ref[:] + _diag_blocks(
+            spec,
+            jax.lax.dot_general(
+                dpre1.astype(mm), g_stack.astype(mm),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            spec.num_features,
         )
         # dw2[p_in, q] = sum_m h1[p_in, m] dpre2[q, m]
-        dw2_ref[:] = dw2_ref[:] + jax.lax.dot_general(
-            h1_2d.astype(mm), dpre2.astype(mm),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        dw2_ref[:] = dw2_ref[:] + _diag_blocks(
+            spec,
+            jax.lax.dot_general(
+                h1_2d.astype(mm), dpre2.astype(mm),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            p,
         )
-        db2_ref[:] = db2_ref[:] + jnp.sum(dpre2, axis=1, keepdims=True)
+        db2_ref[:] = db2_ref[:] + _sum_row_chunks(
+            spec, jnp.sum(dpre2, axis=1, keepdims=True))
 
     @pl.when(jnp.logical_not(active))
     def _():
@@ -375,26 +537,37 @@ def _backward(spec: PoolSpec, residuals, dm):
     nc = cols.shape[2]
     p, ti, tj = spec.p, spec.ti, spec.tj
     ni, nj = nr // ti, nc // tj
+    # The recompute must use the SAME (packed) layout as the forward —
+    # the win mask is an exact h2 == m comparison (_tile_backward_core).
+    wgT_in, w2T_in, b2_in = _packed_weights(spec, wgT, w2T, b2c)
     w2 = w2T.T
-    dmT = dm  # already [B, P, N]
+    if spec.pack > 1:
+        w2 = jnp.kron(jnp.eye(spec.pack, dtype=w2.dtype), w2)
+    # m is saved packed by _pair_pool_fwd; aT and dm pack here (XLA).
+    aT_in = _pack_rows_xla(spec, aT)
+    dm_in = _pack_rows_xla(spec, dm)
     flags = _make_flags(spec, colsT, cols)
     # The fused single-pass backward materializes per-row-tile partial
     # d_bT blocks [B, NI, P, NC] = B*N^2*P/TI bytes*4 — 8 MB at the
     # N=1024 training workload, 134 MB at N=4096*B=2; fine for the
     # supported bucket envelope (<= 4096).
 
+    pk = spec.pack
+    tipk = ti // pk
     row_specs = _pool_specs(spec, c_total) + [
-        pl.BlockSpec((p, p), lambda b_, i, j, *_: (0, 0),
+        pl.BlockSpec((pk * p, pk * p), lambda b_, i, j, *_: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, ti), lambda b_, i, j, *_: (b_, 0, i),
+        pl.BlockSpec((1, 1, pk * p, tipk),
+                     lambda b_, i, j, *_: (b_, i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p, ti), lambda b_, i, j, *_: (b_, 0, i),
+        pl.BlockSpec((1, 1, pk * p, tipk),
+                     lambda b_, i, j, *_: (b_, i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    da, dwgT, dw2, db2, db_part = pl.pallas_call(
+    da_p, dwgT, dw2, db2, db_part = pl.pallas_call(
         functools.partial(_bwd_row_kernel, spec=spec),
         out_shape=(
-            jax.ShapeDtypeStruct((b, p, nr), jnp.float32),
+            jax.ShapeDtypeStruct((b, ni, pk * p, tipk), jnp.float32),
             jax.ShapeDtypeStruct((p, spec.num_features), jnp.float32),
             jax.ShapeDtypeStruct((p, p), jnp.float32),
             jax.ShapeDtypeStruct((p, 1), jnp.float32),
@@ -405,7 +578,8 @@ def _backward(spec: PoolSpec, residuals, dm):
             grid=(b, ni, nj),
             in_specs=row_specs,
             out_specs=(
-                pl.BlockSpec((1, p, ti), lambda b_, i, j, *_: (b_, 0, i),
+                pl.BlockSpec((1, 1, pk * p, tipk),
+                             lambda b_, i, j, *_: (b_, i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((p, spec.num_features),
                              lambda b_, i, j, *_: (0, 0),
@@ -418,9 +592,13 @@ def _backward(spec: PoolSpec, residuals, dm):
                              lambda b_, i, j, *_: (b_, i, 0, j),
                              memory_space=pltpu.VMEM),
             ),
+            scratch_shapes=[
+                pltpu.VMEM((pk * p, tipk, tj), jnp.float32)
+            ],
         ),
         interpret=spec.interpret,
-    )(flags, colsT, cols, aT, bT, wgT, w2T, b2c, w2, m, dmT)
+    )(flags, colsT, cols, aT_in, bT, wgT_in, w2T_in, b2_in, w2, m, dm_in)
+    da = _unpack_rows_xla(spec, da_p)
     # d_bT: sum the per-row-tile partials (replaces the reference-free
     # second transposed-grid sweep; each partial was written exactly once).
     db = jnp.sum(db_part, axis=1)
@@ -438,12 +616,16 @@ def _backward(spec: PoolSpec, residuals, dm):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _pair_pool_p(spec: PoolSpec, colsT, cols, aT, bT, wgT, w2T, b2c):
-    return _forward(spec, colsT, cols, aT, bT, wgT, w2T, b2c)
+    return _unpack_rows_xla(
+        spec, _forward(spec, colsT, cols, aT, bT, wgT, w2T, b2c))
 
 
 def _pair_pool_fwd(spec, colsT, cols, aT, bT, wgT, w2T, b2c):
-    m = _forward(spec, colsT, cols, aT, bT, wgT, w2T, b2c)
-    return m, (colsT, cols, aT, bT, wgT, w2T, b2c, m)
+    # Residuals keep m in the PACKED kernel layout: the backward's win
+    # mask is an exact h2 == m comparison against the packed recompute.
+    m_p = _forward(spec, colsT, cols, aT, bT, wgT, w2T, b2c)
+    return (_unpack_rows_xla(spec, m_p),
+            (colsT, cols, aT, bT, wgT, w2T, b2c, m_p))
 
 
 def _pair_pool_bwd(spec, residuals, dm):
@@ -498,6 +680,7 @@ def pallas_pair_pool_rect(
     block_sparse: bool = True,
     tile_i: int | None = None,
     tile_j: int | None = None,
+    packed: bool | None = None,
 ) -> Array:
     """Rectangular streaming pair stage -> m [B, NR, P].
 
@@ -547,11 +730,21 @@ def pallas_pair_pool_rect(
     w2T = params.w2.T.astype(jnp.float32)        # [P_out, P_in]
     b2c = params.b2[:, None].astype(jnp.float32)  # [P, 1]
 
+    # MEASURED NEGATIVE (v5e, N=1024 B=8 dense tiles): packed=True is 8%
+    # SLOWER (2.40 vs 2.19 ms/call) despite 4x better MXU utilization —
+    # the dots overlap with VPU work and are not the critical path, while
+    # the pk*G g_stack concat pieces add relayout time. Kept off by
+    # default; the path stays correct + parity-tested for future tiles.
+    if packed is None:
+        packed = False
+    packed = bool(packed) and p < 128 and 128 % p == 0 \
+        and ti % (128 // p) == 0
     spec = PoolSpec(
         neighbor_iou=float(neighbor_iou),
         num_features=num_features,
         p=p, ti=ti, tj=tj, interpret=bool(interpret),
         compute_dtype=compute_dtype, block_sparse=block_sparse,
+        packed=packed,
     )
     m = _pair_pool_p(
         spec, colsT.astype(jnp.float32), col_cols.astype(jnp.float32),
@@ -573,6 +766,7 @@ def pallas_pair_pool(
     block_sparse: bool = True,
     tile_i: int | None = None,
     tile_j: int | None = None,
+    packed: bool | None = None,
 ) -> Array:
     """Square streaming pair stage: returns m [B, N, P] = masked neighbor
     max. Computes the same function as models.gossipnet.pair_pool_dense
@@ -582,4 +776,5 @@ def pallas_pair_pool(
         row_classes=classes, col_classes=classes,
         tile=tile, interpret=interpret, compute_dtype=compute_dtype,
         block_sparse=block_sparse, tile_i=tile_i, tile_j=tile_j,
+        packed=packed,
     )

@@ -197,3 +197,45 @@ def test_forward_bf16_close_to_f32(rng):
     scale = float(jnp.max(jnp.abs(f32))) + 1e-9
     rel = float(jnp.max(jnp.abs(f32 - bf16))) / scale
     assert rel < 3e-2, rel
+
+
+def test_packed_dots_forward_and_grad_parity(rng):
+    """spec.packed=True (kron block-diagonal MXU packing) must match the
+    dense path bit-for-bit in f32 forward and to autodiff tolerance in
+    gradients. Off by default (measured 8% slower on v5e) but kept
+    correct for future tile/width configurations."""
+    boxes, scores, valid, _ = _problem(rng, b=1, n=64)
+    params = _params(rng)
+    cols = pf.det_columns(boxes, scores, valid)
+    b, n = scores.shape
+    cols_stacked = pf.stack_columns(cols)
+    g, mask = pf.dense_pair_tensor(cols, NEIGHBOR_IOU)
+
+    def loss_dense(params, r):
+        a = r @ params.wa + params.b1
+        bb = r @ params.wb
+        m = pair_pool_dense(a, bb, params.wg, params.w2, params.b2, g, mask)
+        return jnp.sum(jnp.sin(m)), m
+
+    def loss_packed(params, r):
+        a = r @ params.wa + params.b1
+        bb = r @ params.wb
+        m = pallas_pair_pool(cols_stacked, a, bb, params, NEIGHBOR_IOU,
+                             interpret=True, compute_dtype="float32",
+                             packed=True)
+        return jnp.sum(jnp.sin(m)), m
+
+    r = jnp.asarray(
+        np.random.default_rng(5).normal(0, 1, (b, n, P)).astype(np.float32))
+    (_, md), gd = jax.value_and_grad(loss_dense, argnums=(0, 1),
+                                     has_aux=True)(params, r)
+    (_, mk), gk = jax.value_and_grad(loss_packed, argnums=(0, 1),
+                                     has_aux=True)(params, r)
+    np.testing.assert_allclose(np.asarray(md), np.asarray(mk),
+                               rtol=1e-5, atol=1e-5)
+    for name in PairParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(gd[0], name)), np.asarray(getattr(gk[0], name)),
+            rtol=2e-4, atol=2e-4, err_msg=f"packed grad mismatch: {name}")
+    np.testing.assert_allclose(np.asarray(gd[1]), np.asarray(gk[1]),
+                               rtol=2e-4, atol=2e-4)
