@@ -4,8 +4,8 @@ North-star target (BASELINE.json:5): >= 50,000 detections/sec rescored
 per TPU v5e chip at N=1024 with the flagship 16-block model. Prints ONE
 JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Methodology (validated in round 1 against several failure modes of the
-remote-TPU execution stack):
+Methodology (validated against several failure modes of the remote-TPU
+execution stack):
 - sustained throughput is measured with K iterations of the full forward
   chained INSIDE one jitted ``lax.fori_loop`` (each iteration's output
   feeds the next input, plus an iteration-dependent perturbation so no
@@ -13,8 +13,15 @@ remote-TPU execution stack):
 - the marginal per-iteration cost comes from two loop lengths (removes
   the fixed per-call dispatch/RPC overhead, ~25-30 ms through the test
   harness's tunnel, which is not part of the framework);
-- the loop was verified BIT-EXACT against a host-level chained loop of
-  the same jitted step, so all iterations demonstrably execute.
+- the loop was verified bit-exact against a host-level chained loop of
+  the same jitted step, so all iterations demonstrably execute;
+- CORRECTNESS of the measured computation itself is enforced separately
+  by the on-chip parity suite (GNET_TPU=1 pytest -m tpu). This matters:
+  round 1's numbers passed every consistency check above while an
+  XLA:TPU constant-folding miscompile (docs/KNOWN_ISSUES.md) collapsed
+  the kernel's actual work — consistency is not correctness. The model
+  now guards itself with an optimization barrier; see BENCHMARKS.md
+  "Round-2 correction".
 """
 
 import argparse

@@ -193,7 +193,7 @@ class GossipNet(nn.Module):
         # per detection, so reordering inputs and unsorting the logits is
         # a pure perf transform — Morton (Z-order) keys cluster each tile
         # in BOTH axes so the block-sparse kernel's 2-D tile-bbox test
-        # prunes aggressively (ops/order.py).
+        # can prune (ops/order.py; honest value 1.2-2.1x, BENCHMARKS.md).
         inv_perm = None
         if self.pool_impl == "pallas" and cfg.sort_detections:
             key = ordering.morton_sort_key(boxes, valid)

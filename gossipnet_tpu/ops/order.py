@@ -9,8 +9,11 @@ extent of each 128-detection tile, the more tiles prune.
 Round 1 sorted by box center-x, which bounds tiles in x only: with
 dense scenes the y-extent of a tile stays full-canvas and the pruning
 test degenerates to a 1-D interval check. A Morton (Z-order) key of the
-quantized box center clusters tiles in BOTH axes, so the 2-D bbox test
-prunes far more aggressively (measured in BENCHMARKS.md).
+quantized box center clusters tiles in BOTH axes so the 2-D bbox test
+can bite. Honest measured value of sorting + tile skipping combined:
+1.2-1.3x at N=1024, up to 2.1x at N=4096 (BENCHMARKS.md) — COCO-scale
+boxes keep most 128-detection tile bboxes overlapping regardless of
+ordering.
 """
 
 from __future__ import annotations

@@ -88,9 +88,10 @@ class PoolSpec:
     compute_dtype: str = "bfloat16"
     # Block-sparsity: skip (i, j) tiles whose tile bounding boxes don't
     # intersect — no pair in such a tile can have IoU > 0, so with
-    # neighbor_iou > 0 the result is EXACT. Pays off massively when
-    # detections are sorted spatially (ModelConfig.sort_detections):
-    # neighbors then concentrate near the diagonal and most tiles skip.
+    # neighbor_iou > 0 the result is EXACT. With spatially sorted
+    # detections (ModelConfig.sort_detections) this is worth an honest
+    # 1.2-2.1x depending on N and layout (BENCHMARKS.md) — COCO-scale
+    # boxes keep most 128-detection tile bboxes overlapping.
     block_sparse: bool = True
     # MXU block-diagonal weight packing (forward): with P=32 the pair
     # FCs contract over 32 of 128 MXU rows (1/16 utilization). Packing
