@@ -1,0 +1,169 @@
+"""Persistent rescoring server example (ROADMAP serving polish).
+
+Two modes over a loaded checkpoint (api.Rescorer):
+
+JSON-lines stream (default) — one image per line on stdin, responses on
+stdout, double-buffered through ``Rescorer.rescore_stream`` (device
+computes batch k while the host packs k+1)::
+
+    echo '{"id": 7, "boxes": [[0,0,10,10],[1,1,11,11]],
+           "scores": [0.9, 0.8]}' \
+      | python scripts/serve.py -c experiments/serving_bucketed.yaml \
+            --checkpoint-dir checkpoints
+
+    -> {"id": 7, "new_scores": [0.93, 0.04], "keep": [0]}
+
+COCO-results file mode — rescore a standard COCO detection-results JSON
+in one call and write the same format back with updated scores::
+
+    python scripts/serve.py -c cfg.yaml --checkpoint-dir ck \
+        --input dets.json --output rescored.json
+
+``--random-init`` builds an untrained model (smoke tests / latency
+probes only).
+"""
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import argparse
+import json
+
+import numpy as np
+
+from gossipnet_tpu.api import Rescorer
+from gossipnet_tpu.config import load_config
+
+
+def _build(args) -> Rescorer:
+    cfg = load_config(args.config) if args.config else load_config(None)
+    if args.random_init:
+        import jax
+        from gossipnet_tpu.train import build_model
+
+        model = build_model(
+            cfg, "pallas" if jax.default_backend() == "tpu" else "dense")
+        n0 = cfg.data.bucket_sizes[0]
+        params = model.init(
+            jax.random.key(0),
+            np.zeros((1, n0, 4), np.float32),
+            np.zeros((1, n0), np.float32),
+            np.ones((1, n0), bool),
+            *([np.zeros((1, n0), np.int32)]
+              if cfg.model.num_classes > 1 else []),
+        )["params"]
+        return Rescorer(cfg, params)
+    return Rescorer.from_checkpoint(cfg, args.checkpoint_dir)
+
+
+def serve_stream(rescorer: Rescorer, threshold: float,
+                 inp=sys.stdin, out=sys.stdout, sync: bool = False) -> int:
+    """JSON-lines loop; returns number of images served.
+
+    Default: double-buffered batching (max throughput; responses may
+    trail requests by one batch). ``sync``: answer each request
+    immediately (interactive latency, no batching).
+    """
+    def requests():
+        for line in inp:
+            line = line.strip()
+            if not line:
+                continue
+            req = json.loads(line)
+            yield req
+
+    def respond(req, idx, new_scores):
+        keep = np.nonzero(new_scores > threshold)[0]
+        out.write(json.dumps({
+            "id": req.get("id", idx),
+            "new_scores": [round(float(s), 6) for s in new_scores],
+            "keep": keep.tolist(),
+        }) + "\n")
+        out.flush()
+
+    if sync:
+        n = 0
+        for idx, req in enumerate(requests()):
+            new_scores = rescorer(
+                np.asarray(req["boxes"], np.float32).reshape(-1, 4),
+                np.asarray(req["scores"], np.float32),
+                (np.asarray(req["classes"], np.int32)
+                 if "classes" in req else None))
+            respond(req, idx, new_scores)
+            n += 1
+        return n
+
+    reqs = []
+
+    def images():
+        for req in requests():
+            reqs.append(req)
+            yield (np.asarray(req["boxes"], np.float32).reshape(-1, 4),
+                   np.asarray(req["scores"], np.float32),
+                   (np.asarray(req["classes"], np.int32)
+                    if "classes" in req else None))
+
+    n = 0
+    for idx, new_scores in rescorer.rescore_stream(images()):
+        respond(reqs[idx], idx, new_scores)
+        n += 1
+    return n
+
+
+def serve_file(rescorer: Rescorer, in_path: str, out_path: str) -> int:
+    """COCO-results JSON in -> same format out with rescored scores."""
+    with open(in_path) as f:
+        dets = json.load(f)
+    by_image: dict = {}
+    for k, d in enumerate(dets):
+        by_image.setdefault(int(d["image_id"]), []).append(k)
+    images, order = [], []
+    multiclass = rescorer.cfg.model.num_classes > 1
+    cat_to_label = {}
+    if multiclass:
+        cats = sorted({int(d["category_id"]) for d in dets})
+        cat_to_label = {c: i % rescorer.cfg.model.num_classes
+                        for i, c in enumerate(cats)}
+    for img_id, idxs in sorted(by_image.items()):
+        b = np.asarray(
+            [dets[k]["bbox"] for k in idxs], np.float32).reshape(-1, 4)
+        boxes = b.copy()
+        boxes[:, 2] = b[:, 0] + b[:, 2]
+        boxes[:, 3] = b[:, 1] + b[:, 3]
+        scores = np.asarray([dets[k]["score"] for k in idxs], np.float32)
+        classes = (np.asarray(
+            [cat_to_label[int(dets[k]["category_id"])] for k in idxs],
+            np.int32) if multiclass else None)
+        images.append((boxes, scores, classes))
+        order.append(idxs)
+    results = rescorer.rescore_batch(images)
+    for idxs, new_scores in zip(order, results):
+        for k, s in zip(idxs, new_scores):
+            dets[k]["score"] = round(float(s), 6)
+    with open(out_path, "w") as f:
+        json.dump(dets, f)
+    return len(images)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-c", "--config", default=None)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--input", default=None, help="COCO-results JSON in")
+    p.add_argument("--output", default=None, help="rescored JSON out")
+    p.add_argument("--random-init", action="store_true",
+                   help="untrained weights (smoke tests only)")
+    p.add_argument("--sync", action="store_true",
+                   help="answer each stdin request immediately "
+                        "(interactive latency, no batching)")
+    args = p.parse_args(argv)
+    rescorer = _build(args)
+    if args.input:
+        n = serve_file(rescorer, args.input, args.output or
+                       args.input.replace(".json", "_rescored.json"))
+        print(f"rescored {n} images", file=sys.stderr)
+    else:
+        n = serve_stream(rescorer, args.threshold, sync=args.sync)
+        print(f"served {n} images", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Smoke tests for the serving example (scripts/serve.py): JSON-lines
+stream mode (sync + batched) and COCO-results file mode."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _run(args, stdin_text, tmp_path):
+    env = {
+        "PYTHONPATH": "/root/repo",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "JAX_PLATFORMS": "cpu",
+        "PATH": "/usr/bin:/bin",
+        "HOME": str(tmp_path),
+    }
+    return subprocess.run(
+        [sys.executable, "/root/repo/scripts/serve.py", "--random-init",
+         *args],
+        input=stdin_text, capture_output=True, text=True, env=env,
+        cwd=str(tmp_path), timeout=600,
+    )
+
+
+@pytest.mark.parametrize("mode", ["batched", "sync"])
+def test_stream_modes(tmp_path, mode):
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(
+        "model: {num_blocks: 1, feature_dim: 16, reduced_dim: 8,"
+        " pairwise_dim: 8}\n"
+        "data: {bucket_sizes: [32]}\n")
+    reqs = []
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        n = int(rng.integers(2, 8))
+        xy = rng.uniform(0, 100, (n, 2))
+        boxes = np.concatenate([xy, xy + 10], 1)
+        reqs.append(json.dumps({
+            "id": 100 + i,
+            "boxes": boxes.tolist(),
+            "scores": rng.uniform(0, 1, n).tolist(),
+        }))
+    extra = ["--sync"] if mode == "sync" else []
+    r = _run(["-c", str(cfg), "--threshold", "0.0", *extra],
+             "\n".join(reqs) + "\n", tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(x) for x in r.stdout.strip().splitlines()]
+    assert {l["id"] for l in lines} == {100, 101, 102}
+    by_id = {l["id"]: l for l in lines}
+    for i, req in enumerate(reqs):
+        n = len(json.loads(req)["scores"])
+        resp = by_id[100 + i]
+        assert len(resp["new_scores"]) == n
+        assert all(0.0 <= s <= 1.0 for s in resp["new_scores"])
+        # threshold 0.0 keeps everything with positive score
+        assert resp["keep"] == [k for k, s in enumerate(resp["new_scores"])
+                                if s > 0.0]
+    assert "served 3 images" in r.stderr
+
+
+def test_file_mode(tmp_path):
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(
+        "model: {num_blocks: 1, feature_dim: 16, reduced_dim: 8,"
+        " pairwise_dim: 8}\n"
+        "data: {bucket_sizes: [32]}\n")
+    rng = np.random.default_rng(1)
+    dets = []
+    for img in (1, 2):
+        for _ in range(5):
+            x, y = rng.uniform(0, 100, 2)
+            dets.append({"image_id": img, "category_id": 1,
+                         "bbox": [float(x), float(y), 12.0, 14.0],
+                         "score": float(rng.uniform(0, 1))})
+    inp = tmp_path / "dets.json"
+    inp.write_text(json.dumps(dets))
+    outp = tmp_path / "out.json"
+    r = _run(["-c", str(cfg), "--input", str(inp), "--output", str(outp)],
+             "", tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rescored = json.loads(outp.read_text())
+    assert len(rescored) == len(dets)
+    for old, new in zip(dets, rescored):
+        assert new["image_id"] == old["image_id"]
+        assert new["bbox"] == old["bbox"]
+        assert 0.0 <= new["score"] <= 1.0
+    assert "rescored 2 images" in r.stderr
