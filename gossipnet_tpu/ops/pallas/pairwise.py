@@ -104,6 +104,15 @@ class PoolSpec:
     def pack(self) -> int:
         return 128 // self.p if self.packed else 1
 
+    @property
+    def hoist_a(self) -> bool:
+        """Hoist the row-term broadcast into VMEM scratch (once per row
+        tile) only while the scratch fits comfortably: at 256x256 tiles
+        the [P, TI, TJ] f32 buffer alone is 8 MB and blows the ~16 MB
+        scoped-vmem limit (measured compile OOM on v5e). Beyond the cap
+        the kernels broadcast inline — slower, but they compile."""
+        return self.p * self.ti * self.tj * 4 <= 4 * 1024 * 1024
+
 
 def _tile_columns(ref_slice: Array, axis: int) -> pf.DetColumns:
     """Build DetColumns whose fields broadcast as rows/cols of a tile.
@@ -294,14 +303,18 @@ def _fwd_kernel(flags_ref, colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref,
     @pl.when(j == 0)
     def _():
         out_ref[0, 0] = jnp.full(out_ref.shape[2:], NEG_INF, jnp.float32)
-        # Row term broadcast hoisted out of the j loop (see _tile_forward).
-        a_scr[:] = jnp.broadcast_to(aT_ref[0, 0][:, :, None], a_scr.shape)
+        if spec.hoist_a:
+            # Row-term broadcast hoisted out of the j loop
+            # (see _tile_forward).
+            a_scr[:] = jnp.broadcast_to(
+                aT_ref[0, 0][:, :, None], a_scr.shape)
 
     @pl.when(active)
     def _():
         _, neighbor, _, h2 = _tile_forward(
             spec, colsT_ref[0], cols_ref[0], aT_ref[0, 0], bT_ref[0],
-            wgT_ref[:], w2T_ref[:], b2_ref[:], a_bcast=a_scr[:],
+            wgT_ref[:], w2T_ref[:], b2_ref[:],
+            a_bcast=a_scr[:] if spec.hoist_a else None,
         )
         out_ref[0, 0] = jnp.maximum(
             out_ref[0, 0], _row_max(spec, neighbor, h2))
@@ -370,7 +383,8 @@ def _forward(spec: PoolSpec, colsT, cols, aT, bT, wgT, w2T, b2c) -> Array:
                                lambda b_, i, j, *_: (b_, i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((pk * p, ti // pk, tj), jnp.float32)
+            pltpu.VMEM((pk * p, ti // pk, tj) if spec.hoist_a else (8, 128),
+                       jnp.float32)
         ],
     )
     wgT_in, w2T_in, b2_in = _packed_weights(spec, wgT, w2T, b2c)
@@ -480,8 +494,11 @@ def _bwd_row_kernel(flags_ref, colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref,
     @pl.when(j == 0)
     def _():
         da_ref[0, 0] = jnp.zeros((pk * p, tipk), jnp.float32)
-        # Row term broadcast hoisted out of the j loop (see _tile_forward).
-        a_scr[:] = jnp.broadcast_to(aT_ref[0, 0][:, :, None], a_scr.shape)
+        if spec.hoist_a:
+            # Row-term broadcast hoisted out of the j loop
+            # (see _tile_forward).
+            a_scr[:] = jnp.broadcast_to(
+                aT_ref[0, 0][:, :, None], a_scr.shape)
 
     @pl.when((b_idx == 0) & (i == 0) & (j == 0))
     def _():
@@ -494,7 +511,7 @@ def _bwd_row_kernel(flags_ref, colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref,
         g_stack, h1_2d, dpre2, dpre1 = _tile_backward_core(
             spec, colsT_ref, cols_ref, aT_ref, bT_ref,
             wgT_ref, w2T_ref, b2_ref, w2_ref, m_ref, dm_ref,
-            a_bcast=a_scr[:],
+            a_bcast=a_scr[:] if spec.hoist_a else None,
         )                  # all [pk*P / pk*G rows, M/pk] packed 2-D
         mm = jnp.dtype(spec.compute_dtype)
         dpre1_3d = dpre1.reshape(pk * p, tipk, tj)
@@ -594,7 +611,8 @@ def _backward(spec: PoolSpec, residuals, dm):
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((pk * p, tipk, tj), jnp.float32)
+                pltpu.VMEM((pk * p, tipk, tj) if spec.hoist_a else (8, 128),
+                           jnp.float32)
             ],
         ),
         interpret=spec.interpret,
