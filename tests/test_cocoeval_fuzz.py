@@ -249,11 +249,29 @@ def test_numpy_fallback_speed_1k_images():
             gt_classes=rng.integers(0, 80, size=g),
             gt_crowd=rng.uniform(size=g) < 0.1,
         )
+    # Calibrate the budget against THIS machine's current small-array
+    # numpy dispatch speed — the eval's actual bottleneck (shared CI
+    # hosts vary >3x and parallel jobs add contention; a fixed wall
+    # budget flaked twice). Probe ~0.05 s where the eval measures
+    # ~6 s (=> 5k images ~30 s, under the 60 s no-.so target;
+    # scripts/scale_drill.py runs the full 5k). Budget 300x probe
+    # (~2.5x headroom) scales with load; an algorithmic regression
+    # (the old pure-Python triple loop was 10x slower) still fails.
+    prng = np.random.default_rng(1)
+    pa = prng.standard_normal((100, 12))
+    p0 = time.monotonic()
+    acc = 0.0
+    for _ in range(3000):
+        pb = pa > 0.2
+        pc = np.where(pb, pa, -1.0)
+        pm = pc.max(axis=1)
+        acc += float(np.argsort(pm, kind="stable")[0])
+    probe = time.monotonic() - p0
     t0 = time.monotonic()
     s = ev.summarize()
     dt = time.monotonic() - t0
     assert np.isfinite(s["AP"])
-    # Measured ~4.9 s on a slow shared host (=> 5k images ~25 s, well
-    # under the 60 s target; scripts/scale_drill.py runs the full 5k).
-    # 15 s keeps ~3x headroom for machine variance.
-    assert dt < 15.0, f"fallback eval too slow: {dt:.1f}s for 1k images"
+    budget = max(8.0, 300.0 * probe)
+    assert dt < budget, (
+        f"fallback eval too slow: {dt:.1f}s for 1k images "
+        f"(budget {budget:.1f}s from {probe:.3f}s probe)")
