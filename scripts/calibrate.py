@@ -98,11 +98,7 @@ def main(argv=None):
         for k, v in zip(keys, combo):
             sect, field = k.split(".")
             overrides.setdefault(sect, {})[field] = v
-        cfg = base.merged(overrides) if hasattr(base, "merged") else None
-        if cfg is None:
-            from gossipnet_tpu.config import _merge_dataclass
-
-            cfg = _merge_dataclass(base, overrides)
+        cfg = load_config(args.config, overrides=overrides)
         tmp = tempfile.mkdtemp(prefix="gnet_cal_")
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(
