@@ -90,11 +90,13 @@ def serve_stream(rescorer: Rescorer, threshold: float,
             n += 1
         return n
 
-    reqs = []
+    # Keyed by stream index and popped on response so a long-running
+    # server holds at most the in-flight window of requests.
+    reqs: dict = {}
 
     def images():
-        for req in requests():
-            reqs.append(req)
+        for i, req in enumerate(requests()):
+            reqs[i] = req
             yield (np.asarray(req["boxes"], np.float32).reshape(-1, 4),
                    np.asarray(req["scores"], np.float32),
                    (np.asarray(req["classes"], np.int32)
@@ -102,7 +104,7 @@ def serve_stream(rescorer: Rescorer, threshold: float,
 
     n = 0
     for idx, new_scores in rescorer.rescore_stream(images()):
-        respond(reqs[idx], idx, new_scores)
+        respond(reqs.pop(idx), idx, new_scores)
         n += 1
     return n
 
