@@ -239,3 +239,32 @@ def test_packed_dots_forward_and_grad_parity(rng):
             rtol=2e-4, atol=2e-4, err_msg=f"packed grad mismatch: {name}")
     np.testing.assert_allclose(np.asarray(gd[1]), np.asarray(gk[1]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_big_tile_inline_broadcast_parity(rng):
+    """tile 256x256 at P=32 exceeds the 4MB scratch cap (PoolSpec.hoist_a
+    False -> inline row broadcast; the hoisted variant OOMed v5e's scoped
+    vmem at this shape). Both kernels must agree with the dense path."""
+    from gossipnet_tpu.ops.pallas.pairwise import PoolSpec
+
+    spec = PoolSpec(neighbor_iou=0.2, num_features=pf.NUM_PAIR_FEATURES,
+                    p=32, ti=256, tj=256, interpret=True)
+    assert not spec.hoist_a
+    assert PoolSpec(neighbor_iou=0.2, num_features=pf.NUM_PAIR_FEATURES,
+                    p=32, ti=128, tj=128, interpret=True).hoist_a
+
+    boxes, scores, valid, _ = _problem(rng, b=1, n=256)
+    params = _params(rng, p=32)
+    cols = pf.det_columns(boxes, scores, valid)
+    r = jnp.asarray(
+        np.random.default_rng(5).normal(0, 1, (1, 256, 32)).astype(np.float32))
+    a = r @ params.wa + params.b1
+    bb = r @ params.wb
+    g, mask = pf.dense_pair_tensor(cols, NEIGHBOR_IOU)
+    dense = pair_pool_dense(a, bb, params.wg, params.w2, params.b2, g, mask)
+    kernel = pallas_pair_pool(
+        pf.stack_columns(cols), a, bb, params, NEIGHBOR_IOU,
+        tile=256, interpret=True, compute_dtype="float32",
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense), np.asarray(kernel), rtol=1e-5, atol=1e-5)
