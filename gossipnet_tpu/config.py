@@ -80,7 +80,10 @@ class LossConfig:
     # into one weighting problem — pos/neg balance computed across
     # images, so detection-heavy images contribute more; this matches
     # the reference's 1-image-per-step regime where no distinction
-    # exists (reference: nms_net/network.py loss subgraph).
+    # exists (reference: nms_net/network.py loss subgraph). NB
+    # 'per_batch' is incompatible with a data-sharded mesh (each shard
+    # would pool only its local images); make_sharded_train_step
+    # refuses the combination.
     normalize: str = "per_image"
 
 
@@ -115,6 +118,10 @@ class DataConfig:
     ann_file: str = ""               # COCO annotation json / PETS CVML xml
     det_file: str = ""               # precomputed detections
     #                                  (coco: npz/json; pets: xml/csv/npz)
+    # Validation split (reference: minival) for periodic train-time eval
+    # + best-AP checkpointing; empty = no periodic eval for coco/pets.
+    val_ann_file: str = ""
+    val_det_file: str = ""
     person_only: bool = True         # persons subset vs all 80 classes
     max_detections: int = 1024       # cap (score-ranked) per image, pad to N
     bucket_sizes: Sequence[int] = (256, 512, 1024, 2048, 4096)

@@ -133,11 +133,15 @@ def build_pets_roidb(
     dets = load_pets_detections(det_file)
     if gt and dets and min(dets) == min(gt) + 1 and max(dets) == max(gt) + 1:
         dets = {fr - 1: rec for fr, rec in dets.items()}
+    empty = {"boxes": [], "scores": []}
     records = []
-    for fr, d in sorted(dets.items()):
-        if skip_empty and not d["scores"]:
-            continue
+    # Union of frames: a frame with GT but no detections must still
+    # contribute its GTs to the AP recall denominator (see build_roidb).
+    for fr in sorted(set(dets) | set(gt)):
+        d = dets.get(fr, empty)
         g = gt.get(fr, {"boxes": []})
+        if skip_empty and not d["scores"] and not g["boxes"]:
+            continue
         n = len(d["scores"])
         ng = len(g["boxes"])
         rec = ImageRecord(

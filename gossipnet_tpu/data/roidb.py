@@ -173,18 +173,24 @@ def build_roidb(
     max_dets: int = 1024,
     skip_empty: bool = True,
 ) -> Roidb:
-    """Assemble the roidb: one record per image with detections.
+    """Assemble the roidb: one record per image.
 
-    ``skip_empty`` drops images with no detections (nothing to rescore),
-    matching the reference's training-set filtering.
+    Iterates the UNION of detection and annotation image ids: an image
+    with ground truth but no detections must still contribute its GTs
+    to the AP recall denominator (dropping it would inflate AP vs
+    pycocotools). ``skip_empty`` drops only images with neither
+    detections nor ground truth; zero-detection records are handled
+    throughout (tests/test_edge_cases.py).
     """
     gt, class_names, cat_ids = load_coco_gt(ann_file, person_only)
     dets = load_detections(det_file, cat_ids)
+    empty_det = {"boxes": [], "scores": [], "classes": []}
     records = []
-    for img_id, d in sorted(dets.items()):
-        if skip_empty and not d["scores"]:
-            continue
+    for img_id in sorted(set(dets) | set(gt)):
+        d = dets.get(img_id, empty_det)
         g = gt.get(img_id, {"boxes": [], "classes": [], "crowd": []})
+        if skip_empty and not d["scores"] and not g["boxes"]:
+            continue
         gt_boxes = (
             _xywh_to_xyxy_np(np.asarray(g["boxes"], np.float32))
             if g["boxes"] else np.zeros((0, 4), np.float32)

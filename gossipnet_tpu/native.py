@@ -32,6 +32,9 @@ def build(quiet: bool = True) -> bool:
         return False
 
 
+_ABI_VERSION = 2
+
+
 def _load():
     global _lib, _load_failed
     if _lib is not None or _load_failed:
@@ -41,6 +44,24 @@ def _load():
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
+        # ABI handshake: a stale prebuilt .so (e.g. the pre-r2 float32
+        # eval_match) would silently reinterpret buffers with the wrong
+        # element type; refuse anything but the exact expected version
+        # (missing symbol == pre-handshake build).
+        try:
+            lib.gossip_abi_version.restype = ctypes.c_int
+            abi = int(lib.gossip_abi_version())
+        except AttributeError:
+            abi = -1
+        if abi != _ABI_VERSION:
+            import warnings
+
+            warnings.warn(
+                f"{_LIB_PATH} has ABI {abi}, expected {_ABI_VERSION}; "
+                "falling back to the numpy path — rebuild with "
+                "`make -C native`", RuntimeWarning)
+            _load_failed = True
+            return None
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

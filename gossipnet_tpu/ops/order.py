@@ -46,7 +46,10 @@ def morton_sort_key(boxes: Array, valid: Array) -> Array:
         lo = jnp.min(jnp.where(valid, c, jnp.inf), axis=-1, keepdims=True)
         hi = jnp.max(jnp.where(valid, c, -jnp.inf), axis=-1, keepdims=True)
         span = jnp.maximum(hi - lo, 1e-6)
-        q = jnp.clip((c - lo) / span * 65535.0, 0.0, 65535.0)
+        # Cap at 65534 so the max-corner detection's interleaved key
+        # cannot collide with the 0xFFFFFFFF invalid-row sentinel (a
+        # collision would sort one real box into the padding tail tile).
+        q = jnp.clip((c - lo) / span * 65535.0, 0.0, 65534.0)
         return q.astype(jnp.uint32)
 
     key = (_part1by1(_quantize(cy)) << 1) | _part1by1(_quantize(cx))

@@ -53,7 +53,11 @@ def mesh_from_config(cfg: Config, devices=None,
     This is the ONE decision point the train CLI, train(), and
     api.Rescorer all route through, so a YAML knob
     (``parallel.enable/data_axis/det_axis``) is sufficient to move a
-    run onto a mesh. 'auto' uses a mesh iff >1 device is visible.
+    run onto a mesh. 'auto' uses a mesh iff >1 ACCELERATOR device is
+    visible — it never auto-engages on a multi-device CPU host, where
+    the sharded Pallas path would silently run in interpret mode at
+    orders-of-magnitude slowdown (use 'on' explicitly for CPU-mesh
+    tests).
     """
     p = cfg.parallel
     enable = p.enable
@@ -66,7 +70,10 @@ def mesh_from_config(cfg: Config, devices=None,
     devices = list(devices if devices is not None else jax.devices())
     if p.enable == "off":
         return None
-    if p.enable == "auto" and len(devices) <= 1:
+    if p.enable == "auto" and (
+        len(devices) <= 1
+        or any(d.platform not in ("tpu", "gpu") for d in devices)
+    ):
         return None
     n_det = max(int(p.det_axis), 1)
     if p.data_axis:
@@ -185,6 +192,18 @@ def make_sharded_train_step(
     'data'; the pair stage shards over 'det'. Gradients close with
     pmean over both axes (see _local_grads for why 'det' is a mean).
     """
+    if cfg.loss.normalize == "per_batch" and mesh.shape[DATA_AXIS] > 1:
+        # Inside shard_map the loss only sees its local batch shard, so
+        # 'per_batch' would silently pool pos/neg weighting per SHARD —
+        # gradients would change with the mesh shape while claiming
+        # whole-batch semantics. Refuse rather than lie; 'per_image' is
+        # mesh-invariant (each image normalizes independently).
+        raise ValueError(
+            "loss.normalize='per_batch' pools the whole batch into one "
+            "weighting problem, which a data-sharded mesh cannot honor "
+            f"(data axis = {mesh.shape[DATA_AXIS]}); use "
+            "loss.normalize='per_image' or parallel.det_axis-only "
+            "sharding")
     n_det = mesh.shape[DET_AXIS]
 
     def local_step(params, opt_state, arrays):

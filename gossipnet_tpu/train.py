@@ -377,7 +377,10 @@ def main(argv: list[str] | None = None) -> None:
             cfg.data.ann_file, cfg.data.det_file,
             max_dets=cfg.data.max_detections,
         )
-        val = None
+        val = (build_pets_roidb(cfg.data.val_ann_file,
+                                cfg.data.val_det_file,
+                                max_dets=cfg.data.max_detections)
+               if cfg.data.val_ann_file else None)
     else:
         from gossipnet_tpu.data.roidb import build_roidb
 
@@ -386,7 +389,10 @@ def main(argv: list[str] | None = None) -> None:
             person_only=cfg.data.person_only,
             max_dets=cfg.data.max_detections,
         )
-        val = None
+        val = (build_roidb(cfg.data.val_ann_file, cfg.data.val_det_file,
+                           person_only=cfg.data.person_only,
+                           max_dets=cfg.data.max_detections)
+               if cfg.data.val_ann_file else None)
     train(cfg, roidb, val_roidb=val, pool_impl=pool_impl,
           metrics_path=args.metrics, profile_dir=args.profile,
           tb_dir=args.tensorboard)

@@ -55,6 +55,13 @@ inline double overlap(const T* det, const T* gt, bool crowd) {
 
 extern "C" {
 
+// ABI version handshake. Bump whenever any exported signature changes
+// (e.g. the r2 eval_match float->double migration); gossipnet_tpu/
+// native.py refuses to use a library whose version does not match, so
+// a stale prebuilt .so degrades to the numpy path instead of silently
+// reinterpreting buffers with the wrong element type.
+int gossip_abi_version() { return 2; }
+
 // COCO evaluation matching for one image, one class, all thresholds.
 // Inputs are PRE-SORTED: detections by descending score (capped at
 // maxDet), GTs with non-ignored first. Mirrors pycocotools

@@ -106,13 +106,20 @@ def _yaml(name: str, text: str) -> str:
 
 def _run_phase(name: str, argv: list[str], env=None) -> dict:
     t0 = time.monotonic()
-    before = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
-    proc = subprocess.run(argv, cwd=ROOT, env=env or os.environ.copy(),
-                          capture_output=True, text=True)
+    # Per-phase peak RSS: os.wait4 returns THIS child's own rusage
+    # (RUSAGE_CHILDREN.ru_maxrss is a cumulative high-water mark over
+    # all prior children and would misattribute the largest phase's
+    # peak to every later phase).
+    proc = subprocess.Popen(argv, cwd=ROOT, env=env or os.environ.copy(),
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                            text=True)
+    out = proc.stdout.read()
+    _, status, ru = os.wait4(proc.pid, 0)
+    proc.wait()
     wall = time.monotonic() - t0
-    rss = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
-    ok = proc.returncode == 0
-    tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-12:])
+    rss = ru.ru_maxrss  # KiB on Linux
+    ok = os.waitstatus_to_exitcode(status) == 0
+    tail = "\n".join(out.splitlines()[-12:])
     print(f"--- {name}: {'ok' if ok else 'FAILED'} wall={wall:.1f}s "
           f"peak_rss={rss/1e6:.2f}GB\n{tail if not ok else ''}", flush=True)
     if not ok:

@@ -120,9 +120,18 @@ def serve_file(rescorer: Rescorer, in_path: str, out_path: str) -> int:
     multiclass = rescorer.cfg.model.num_classes > 1
     cat_to_label = {}
     if multiclass:
+        # Contiguous labels by sorted category id — the same rule the
+        # training roidb uses over the FULL category list. This matches
+        # training only when the det file covers the same categories;
+        # aliasing distinct categories onto one label would silently
+        # corrupt class-aware features, so refuse instead.
         cats = sorted({int(d["category_id"]) for d in dets})
-        cat_to_label = {c: i % rescorer.cfg.model.num_classes
-                        for i, c in enumerate(cats)}
+        if len(cats) > rescorer.cfg.model.num_classes:
+            raise ValueError(
+                f"detection file has {len(cats)} category ids but the "
+                f"model has {rescorer.cfg.model.num_classes} classes; "
+                "filter the file to the model's categories first")
+        cat_to_label = {c: i for i, c in enumerate(cats)}
     for img_id, idxs in sorted(by_image.items()):
         b = np.asarray(
             [dets[k]["bbox"] for k in idxs], np.float32).reshape(-1, 4)

@@ -70,3 +70,29 @@ def test_eval_match_drives_identical_ap(rng):
         native._lib, native._load_failed = saved
     for k in with_native:
         assert np.isclose(with_native[k], without[k]), (k, with_native, without)
+
+
+def test_abi_version_guard(tmp_path, monkeypatch):
+    """A library without the version handshake (or with a stale one)
+    must be refused — a wrong-ABI .so silently reinterprets buffers."""
+    import warnings
+
+    from gossipnet_tpu import native as native_mod
+
+    if not native_mod._LIB_PATH.exists():
+        pytest.skip("native lib not built")
+    # Simulate a stale build: point the loader at a copy of libc-like
+    # object with no gossip_abi_version... simplest: monkeypatch the
+    # expected version so the real lib 'mismatches'.
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_load_failed", False)
+    monkeypatch.setattr(native_mod, "_ABI_VERSION", 999)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert native_mod._load() is None
+        assert any("ABI" in str(x.message) for x in w)
+    # Restore and confirm the real version loads.
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_load_failed", False)
+    monkeypatch.setattr(native_mod, "_ABI_VERSION", 2)
+    assert native_mod._load() is not None

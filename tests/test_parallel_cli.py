@@ -44,8 +44,10 @@ def test_mesh_from_config_modes():
     cfg_off = Config(parallel=ParallelConfig(enable="off"))
     assert mesh_from_config(cfg_off) is None
     cfg_auto = Config(parallel=ParallelConfig(enable="auto"))
-    mesh = mesh_from_config(cfg_auto)   # 8 devices visible
-    assert mesh is not None and mesh.shape == {"data": 8, "det": 1}
+    # 8 devices visible, but they are CPU: 'auto' must NOT engage (the
+    # sharded Pallas path would run interpret-mode at huge slowdown);
+    # only accelerator fleets auto-mesh. 'on' remains explicit opt-in.
+    assert mesh_from_config(cfg_auto) is None
     cfg_on = Config(parallel=ParallelConfig(enable="on", data_axis=2,
                                             det_axis=2))
     mesh = mesh_from_config(cfg_on)
@@ -199,3 +201,23 @@ def test_rescorer_oversize_raises_or_pads():
     assert out[0].shape == (n,)          # aligned with the input order
     assert np.all(out[0][32:] == 0.0)    # documented zero tail
     assert np.any(out[0][:32] != 0.0)
+
+
+def test_per_batch_normalize_refused_on_data_sharded_mesh():
+    """loss.normalize='per_batch' pools weighting across the whole batch;
+    a data-sharded mesh only sees its local shard, so the combination is
+    refused instead of silently computing mesh-dependent gradients."""
+    import optax
+
+    from gossipnet_tpu.config import LossConfig
+    from gossipnet_tpu.parallel.sharding import (
+        make_mesh, make_sharded_train_step,
+    )
+
+    cfg = Config(loss=LossConfig(normalize="per_batch"))
+    tx = optax.adam(1e-3)
+    with pytest.raises(ValueError, match="per_batch"):
+        make_sharded_train_step(cfg, make_mesh(n_data=4, n_det=2), tx)
+    # det-only sharding keeps whole-batch semantics and is allowed.
+    make_sharded_train_step(
+        cfg, make_mesh(n_data=1, n_det=2, devices=jax.devices()[:2]), tx)

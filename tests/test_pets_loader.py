@@ -139,9 +139,28 @@ def test_capping(tmp_path):
         _write(tmp_path, "dets.csv", rows),
         max_dets=8,
     )
-    (rec,) = roidb.records   # single det frame; no realign heuristics
+    # Frame 0 has GT only (kept for the recall denominator); the single
+    # det frame (no realign heuristics) must be capped to 8.
+    (rec,) = [r for r in roidb.records if r.num_dets > 0]
     assert rec.num_dets == 8
     assert rec.det_scores[0] == rec.det_scores.max()
+
+
+def test_gt_only_frames_kept_for_eval(tmp_path):
+    """A frame with ground truth but no detections must still enter the
+    roidb — dropping it would shrink the AP recall denominator and
+    inflate AP vs pycocotools."""
+    roidb = build_pets_roidb(
+        _write(tmp_path, "gt.xml", CVML_GT),
+        _write(tmp_path, "dets.csv", "2,-1,40,40,20,40,0.9\n"),
+    )
+    by_id = {r.image_id: r for r in roidb.records}
+    # GT frames 0 and 1 have no detections but carry boxes.
+    assert 0 in by_id and by_id[0].num_dets == 0
+    assert len(by_id[0].gt_boxes) == 2
+    assert 1 in by_id and len(by_id[1].gt_boxes) == 1
+    # frame 2: empty GT list + det -> det record
+    assert by_id[2].num_dets == 1
 
 
 @pytest.mark.slow
@@ -185,13 +204,15 @@ train:
   max_steps: 6
   batch_size: 2
   snapshot_every: 6
-  eval_every: 1000
+  eval_every: 6
   log_every: 2
   checkpoint_dir: {tmp_path}/ckpt
 data:
   dataset: pets
   ann_file: {gt_p}
   det_file: {det_p}
+  val_ann_file: {gt_p}
+  val_det_file: {det_p}
   max_detections: 64
   bucket_sizes: [64]
 """)
@@ -209,6 +230,14 @@ data:
         timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]
+    # val_ann_file/val_det_file knob: periodic eval must have run and
+    # logged a finite val AP (and the best-AP checkpoint with it).
+    import json as _json
+
+    rows = [_json.loads(x)
+            for x in (tmp_path / "m.jsonl").read_text().splitlines()]
+    val_rows = [row for row in rows if "val_AP" in row]
+    assert val_rows and np.isfinite(val_rows[-1]["val_AP"])
     r = subprocess.run(
         [sys.executable, "-m", "gossipnet_tpu.evaluate", "-c", cfg_p,
          "--pool-impl", "dense"],

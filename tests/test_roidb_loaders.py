@@ -95,3 +95,27 @@ def test_export_coco_results_roundtrip(tmp_path):
     # re-load the exported file as a detection source: format closes
     db2 = build_roidb(ann, str(out), person_only=True, skip_empty=True)
     assert len(db2) >= 1
+
+
+def test_gt_only_images_kept_for_eval(tmp_path):
+    """An image with ground truth but no detections must still enter the
+    roidb (AP recall denominator; pycocotools counts its GTs)."""
+    ann = {
+        "images": [{"id": 1}, {"id": 2}],
+        "categories": [{"id": 1, "name": "person"}],
+        "annotations": [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 40, 80],
+             "iscrowd": 0},
+            {"image_id": 2, "category_id": 1, "bbox": [5, 5, 30, 60],
+             "iscrowd": 0},
+        ],
+    }
+    dets = [{"image_id": 1, "category_id": 1, "bbox": [11, 11, 39, 79],
+             "score": 0.9}]
+    ann_p = tmp_path / "ann.json"; ann_p.write_text(json.dumps(ann))
+    det_p = tmp_path / "det.json"; det_p.write_text(json.dumps(dets))
+    roidb = build_roidb(str(ann_p), str(det_p))
+    by_id = {r.image_id: r for r in roidb.records}
+    assert sorted(by_id) == [1, 2]
+    assert by_id[2].num_dets == 0
+    assert len(by_id[2].gt_boxes) == 1
