@@ -200,7 +200,26 @@ def load_config(path: str | None = None,
         cfg = _merge_dataclass(cfg, loaded)
     if overrides:
         cfg = _merge_dataclass(cfg, overrides)
+    validate_config(cfg)
     return cfg
+
+
+def validate_config(cfg: Config) -> None:
+    """Refuse configs whose values would train silently wrong.
+
+    Matching thresholds must lie in (0, 1]: the batched Pallas matching
+    path (the TPU default) folds padding/crowd/class exclusions into
+    zeroed IoU rows and therefore REQUIRES t > 0 (ops/matching.py) —
+    a YAML with ``thresholds: [0.0]`` would train with wrong labels on
+    TPU while the CPU scan stayed correct. t > 1 can never match and is
+    always a typo.
+    """
+    for t in cfg.matching.thresholds:
+        if not 0.0 < float(t) <= 1.0:
+            raise ValueError(
+                f"matching.thresholds must be in (0, 1], got {t!r} in "
+                f"{tuple(cfg.matching.thresholds)}"
+            )
 
 
 def config_to_dict(cfg: Config) -> dict:

@@ -121,18 +121,39 @@ def build_pets_roidb(
     det_file: str,
     max_dets: int = 1024,
     skip_empty: bool = True,
+    frame_offset: int | None = None,
 ) -> Roidb:
     """Assemble a single-class person Roidb from PETS-format files.
 
-    Frame-number alignment: CVML GT frames are 0-based while MOT CSV
-    detections are 1-based; when the detection frames are exactly the
-    GT frames shifted by +1 the loader realigns them (detected by key
-    ranges), otherwise keys are matched verbatim.
+    Frame-number alignment: CVML GT frames are typically 0-based while
+    MOT CSV detections are 1-based. ``frame_offset`` is SUBTRACTED from
+    every detection frame number before matching against GT frames
+    (1 = det files one ahead of GT, the MOT-vs-CVML case; 0 = verbatim).
+    ``None`` auto-detects: the shift in {0, +1, -1} whose det frames
+    overlap the GT frames best wins (ties prefer 0); a warning is
+    emitted whenever a nonzero shift is chosen, so silent realignment
+    is visible in logs.
     """
     gt = load_cvml(gt_file)
     dets = load_pets_detections(det_file)
-    if gt and dets and min(dets) == min(gt) + 1 and max(dets) == max(gt) + 1:
-        dets = {fr - 1: rec for fr, rec in dets.items()}
+    if frame_offset is None and gt and dets:
+        gt_keys = set(gt)
+        overlap = {
+            off: len({fr - off for fr in dets} & gt_keys)
+            for off in (0, 1, -1)
+        }
+        frame_offset = max(overlap, key=lambda o: (overlap[o], o == 0))
+        if frame_offset != 0:
+            import warnings
+
+            warnings.warn(
+                f"PETS loader: detection frames realigned by "
+                f"-{frame_offset} (frame overlap with GT: {overlap}); "
+                "pass frame_offset explicitly to silence",
+                stacklevel=2,
+            )
+    if frame_offset:
+        dets = {fr - frame_offset: rec for fr, rec in dets.items()}
     empty = {"boxes": [], "scores": []}
     records = []
     # Union of frames: a frame with GT but no detections must still

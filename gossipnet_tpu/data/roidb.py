@@ -90,6 +90,22 @@ def _xywh_to_xyxy_np(b: np.ndarray) -> np.ndarray:
     return out
 
 
+def _coco_categories(coco: dict, person_only: bool) -> list[dict]:
+    cats = sorted(coco.get("categories", []), key=lambda c: c["id"])
+    if person_only:
+        cats = [c for c in cats if c["id"] == PERSON_CATEGORY_ID]
+        if not cats:
+            cats = [{"id": PERSON_CATEGORY_ID, "name": "person"}]
+    return cats
+
+
+def coco_cat_ids(coco: dict, person_only: bool = True) -> list[int]:
+    """The training label rule: label k = k-th id of the sorted category
+    list (persons subset or all). Exposed so serving-time category
+    mapping (scripts/serve.py) uses EXACTLY the same rule as training."""
+    return [c["id"] for c in _coco_categories(coco, person_only)]
+
+
 def load_coco_gt(
     ann_file: str, person_only: bool = True
 ) -> tuple[dict[int, dict], list[str], list[int]]:
@@ -99,11 +115,7 @@ def load_coco_gt(
     """
     with open(ann_file) as f:
         coco = json.load(f)
-    cats = sorted(coco.get("categories", []), key=lambda c: c["id"])
-    if person_only:
-        cats = [c for c in cats if c["id"] == PERSON_CATEGORY_ID]
-        if not cats:
-            cats = [{"id": PERSON_CATEGORY_ID, "name": "person"}]
+    cats = _coco_categories(coco, person_only)
     cat_ids = [c["id"] for c in cats]
     class_names = [c["name"] for c in cats]
     cat_to_label = {cid: i for i, cid in enumerate(cat_ids)}

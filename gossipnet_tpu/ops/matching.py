@@ -36,6 +36,29 @@ from gossipnet_tpu.ops.geometry import pairwise_iof, pairwise_iou
 NEG_INF = -1e30
 
 
+def _pallas_threshold_domain_ok(thresholds) -> bool:
+    """The Pallas matching kernels fold every exclusion (padding, crowd,
+    class mismatch) into ZEROED IoU rows, so any threshold t <= 0 would
+    make excluded rows eligible — silently wrong labels. True when every
+    CONCRETE threshold is > 0; traced thresholds return True (the config
+    loader refuses t <= 0 before anything is traced, config.py)."""
+    if isinstance(thresholds, jax.core.Tracer):
+        return True
+    import numpy as np
+
+    return bool(np.all(np.asarray(thresholds) > 0.0))
+
+
+def _require_pallas_threshold_domain(thresholds) -> None:
+    if not _pallas_threshold_domain_ok(thresholds):
+        raise ValueError(
+            "matching impl='pallas' requires all IoU thresholds > 0 "
+            "(exclusions are folded into zeroed IoU rows; t <= 0 would "
+            "match padding/crowd rows) — use impl='scan' for t <= 0, "
+            f"got {thresholds}"
+        )
+
+
 class MatchResult(NamedTuple):
     """Per-threshold matching outcome, all ``[T, N]`` (or batched ``[B, T, N]``).
 
@@ -126,6 +149,7 @@ def greedy_match(
         impl = "scan"
 
     if impl == "pallas":
+        _require_pallas_threshold_domain(thresholds)
         from gossipnet_tpu.ops.pallas.matching_kernel import (
             greedy_scan_pallas,
         )
@@ -260,7 +284,12 @@ def greedy_match_batch(
             impl = "pallas" if jax.default_backend() == "tpu" else "scan"
         except Exception:
             impl = "scan"
+        if not _pallas_threshold_domain_ok(thresholds):
+            # Auto-selection routes out-of-domain thresholds to the
+            # (always-correct) scan instead of producing wrong labels.
+            impl = "scan"
     if impl == "pallas":
+        _require_pallas_threshold_domain(thresholds)
         return _greedy_match_batched_pallas(
             boxes, scores, valid, gt_boxes, gt_valid, gt_crowd,
             thresholds, det_classes, gt_classes,

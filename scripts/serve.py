@@ -109,7 +109,41 @@ def serve_stream(rescorer: Rescorer, threshold: float,
     return n
 
 
-def serve_file(rescorer: Rescorer, in_path: str, out_path: str) -> int:
+def _training_cat_ids(rescorer: Rescorer, categories: str | None) -> list:
+    """The TRAINING category-id list (label k = cat_ids[k]).
+
+    Labels must be assigned exactly as the training roidb assigned them
+    (contiguous index into the annotation file's full category list —
+    data/roidb.py:load_coco_gt); deriving them from the det file's own
+    category subset would silently shift labels. Sources, in order:
+    ``--categories`` (a JSON list of category ids, or a COCO annotation
+    JSON with a ``categories`` section), else ``cfg.data.ann_file``.
+    """
+    src = categories or rescorer.cfg.data.ann_file
+    if not src:
+        raise ValueError(
+            "multiclass file mode needs the training category list to "
+            "map category_id -> model label; pass --categories (JSON "
+            "list of ids, or the training annotation file) or set "
+            "data.ann_file in the config")
+    with open(src) as f:
+        doc = json.load(f)
+    if isinstance(doc, list):
+        cat_ids = [int(c) for c in doc]
+    else:
+        from gossipnet_tpu.data.roidb import coco_cat_ids
+
+        cat_ids = coco_cat_ids(
+            doc, person_only=rescorer.cfg.data.person_only)
+    if len(cat_ids) != rescorer.cfg.model.num_classes:
+        raise ValueError(
+            f"category list from {src} has {len(cat_ids)} entries but "
+            f"the model has {rescorer.cfg.model.num_classes} classes")
+    return cat_ids
+
+
+def serve_file(rescorer: Rescorer, in_path: str, out_path: str,
+               categories: str | None = None) -> int:
     """COCO-results JSON in -> same format out with rescored scores."""
     with open(in_path) as f:
         dets = json.load(f)
@@ -120,18 +154,14 @@ def serve_file(rescorer: Rescorer, in_path: str, out_path: str) -> int:
     multiclass = rescorer.cfg.model.num_classes > 1
     cat_to_label = {}
     if multiclass:
-        # Contiguous labels by sorted category id — the same rule the
-        # training roidb uses over the FULL category list. This matches
-        # training only when the det file covers the same categories;
-        # aliasing distinct categories onto one label would silently
-        # corrupt class-aware features, so refuse instead.
-        cats = sorted({int(d["category_id"]) for d in dets})
-        if len(cats) > rescorer.cfg.model.num_classes:
+        cat_ids = _training_cat_ids(rescorer, categories)
+        cat_to_label = {int(c): i for i, c in enumerate(cat_ids)}
+        unknown = {int(d["category_id"]) for d in dets} - set(cat_to_label)
+        if unknown:
             raise ValueError(
-                f"detection file has {len(cats)} category ids but the "
-                f"model has {rescorer.cfg.model.num_classes} classes; "
-                "filter the file to the model's categories first")
-        cat_to_label = {c: i for i, c in enumerate(cats)}
+                f"detection file has category ids {sorted(unknown)[:10]} "
+                "not in the training category list; filter the file to "
+                "the model's categories first")
     for img_id, idxs in sorted(by_image.items()):
         b = np.asarray(
             [dets[k]["bbox"] for k in idxs], np.float32).reshape(-1, 4)
@@ -160,6 +190,10 @@ def main(argv=None):
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--input", default=None, help="COCO-results JSON in")
     p.add_argument("--output", default=None, help="rescored JSON out")
+    p.add_argument("--categories", default=None,
+                   help="training category list for multiclass file mode "
+                        "(JSON list of category ids, or the training COCO "
+                        "annotation file); defaults to cfg.data.ann_file")
     p.add_argument("--random-init", action="store_true",
                    help="untrained weights (smoke tests only)")
     p.add_argument("--sync", action="store_true",
@@ -168,8 +202,19 @@ def main(argv=None):
     args = p.parse_args(argv)
     rescorer = _build(args)
     if args.input:
-        n = serve_file(rescorer, args.input, args.output or
-                       args.input.replace(".json", "_rescored.json"))
+        if args.output:
+            out_path = args.output
+        else:
+            inp = pathlib.Path(args.input)
+            out_path = str(inp.with_name(
+                inp.stem + "_rescored" + (inp.suffix or ".json")))
+        if pathlib.Path(out_path).resolve() == \
+                pathlib.Path(args.input).resolve():
+            raise SystemExit(
+                f"refusing to overwrite input file {args.input}; "
+                "pass --output")
+        n = serve_file(rescorer, args.input, out_path,
+                       categories=args.categories)
         print(f"rescored {n} images", file=sys.stderr)
     else:
         n = serve_stream(rescorer, args.threshold, sync=args.sync)

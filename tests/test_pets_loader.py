@@ -119,6 +119,35 @@ def test_build_roidb_realigns_mot_frames(tmp_path):
     assert not by_id[0].gt_crowd.any()
 
 
+def test_build_roidb_realigns_with_missing_first_frame(tmp_path):
+    """1-based det file with NO detections in its first frame: frames
+    {2,3} over GT {0,1,2}. The old min/max heuristic required both ends
+    to line up and silently skipped the shift; overlap scoring picks
+    offset 1 ({1,2} matches 2 GT frames vs 1 verbatim)."""
+    dets = "\n".join(MOT_DETS.strip().splitlines()[3:])  # frames 2,3 only
+    with pytest.warns(UserWarning, match="realigned by -1"):
+        roidb = build_pets_roidb(
+            _write(tmp_path, "gt.xml", CVML_GT),
+            _write(tmp_path, "dets.csv", dets),
+        )
+    by_id = {r.image_id: r for r in roidb.records}
+    assert by_id[1].num_dets == 1 and len(by_id[1].gt_boxes) == 1
+    assert by_id[2].num_dets == 1 and len(by_id[2].gt_boxes) == 0
+
+
+def test_build_roidb_explicit_frame_offset(tmp_path):
+    """frame_offset=0 forces verbatim matching even for 1-based dets."""
+    roidb = build_pets_roidb(
+        _write(tmp_path, "gt.xml", CVML_GT),
+        _write(tmp_path, "dets.csv", MOT_DETS),
+        frame_offset=0,
+    )
+    by_id = {r.image_id: r for r in roidb.records}
+    # Frame-1 dets (3 of them) now sit with frame-1 GT (1 box).
+    assert by_id[1].num_dets == 3 and len(by_id[1].gt_boxes) == 1
+    assert by_id[3].num_dets == 1 and len(by_id[3].gt_boxes) == 0
+
+
 def test_build_roidb_verbatim_when_aligned(tmp_path):
     """CVML dets share the GT's 0-based frames: no shift applied."""
     roidb = build_pets_roidb(

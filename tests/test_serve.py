@@ -88,3 +88,73 @@ def test_file_mode(tmp_path):
         assert new["bbox"] == old["bbox"]
         assert 0.0 <= new["score"] <= 1.0
     assert "rescored 2 images" in r.stderr
+
+
+MC_CFG = ("model: {num_blocks: 1, feature_dim: 16, reduced_dim: 8,"
+          " pairwise_dim: 8, num_classes: 3}\n"
+          "data: {bucket_sizes: [32], person_only: false}\n")
+
+
+def _mc_dets(rng, cat_ids=(7, 11, 42)):
+    dets = []
+    for img in (1, 2):
+        for _ in range(6):
+            x, y = rng.uniform(0, 100, 2)
+            dets.append({"image_id": img,
+                         "category_id": int(rng.choice(cat_ids)),
+                         "bbox": [float(x), float(y), 12.0, 14.0],
+                         "score": float(rng.uniform(0, 1))})
+    return dets
+
+
+def test_file_mode_multiclass_uses_training_categories(tmp_path):
+    """Multiclass file mode must map category_id -> label through the
+    TRAINING category list (ADVICE r2): a det file covering only a
+    subset of categories still gets the right labels."""
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(MC_CFG)
+    rng = np.random.default_rng(2)
+    # Dets cover only 2 of the 3 training categories — the r2 code would
+    # have relabeled {7, 42} -> {0, 1}, silently shifting category 42.
+    dets = _mc_dets(rng, cat_ids=(7, 42))
+    inp = tmp_path / "dets.json"
+    inp.write_text(json.dumps(dets))
+    cats = tmp_path / "cats.json"
+    cats.write_text(json.dumps([7, 11, 42]))
+    outp = tmp_path / "out.json"
+    r = _run(["-c", str(cfg), "--input", str(inp), "--output", str(outp),
+              "--categories", str(cats)], "", tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rescored = json.loads(outp.read_text())
+    assert [d["category_id"] for d in rescored] == \
+        [d["category_id"] for d in dets]
+
+
+def test_file_mode_multiclass_refuses_without_categories(tmp_path):
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(MC_CFG)
+    dets = _mc_dets(np.random.default_rng(3))
+    inp = tmp_path / "dets.json"
+    inp.write_text(json.dumps(dets))
+    r = _run(["-c", str(cfg), "--input", str(inp),
+              "--output", str(tmp_path / "o.json")], "", tmp_path)
+    assert r.returncode != 0
+    assert "training category list" in r.stderr
+
+
+def test_file_mode_refuses_overwriting_input(tmp_path):
+    """Input without .json suffix: the derived default output must not
+    silently overwrite the input (ADVICE r2)."""
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(
+        "model: {num_blocks: 1, feature_dim: 16, reduced_dim: 8,"
+        " pairwise_dim: 8}\n"
+        "data: {bucket_sizes: [32]}\n")
+    inp = tmp_path / "dets"  # no suffix
+    inp.write_text(json.dumps(
+        [{"image_id": 1, "category_id": 1, "bbox": [1.0, 1.0, 5.0, 5.0],
+          "score": 0.5}]))
+    r = _run(["-c", str(cfg), "--input", str(inp)], "", tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "dets_rescored.json").exists()
+    assert json.loads(inp.read_text())[0]["score"] == 0.5  # untouched
