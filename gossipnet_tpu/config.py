@@ -53,6 +53,10 @@ class ModelConfig:
     # pressure without improving MXU utilization at P=32.
     pair_tile_i: int = 128
     pair_tile_j: int = 128
+    # Pair-kernel generation: 2 = packed 2-D layout with separable
+    # feature folding (ops/pallas/pairwise2.py, r3 — measured faster);
+    # 1 = the r1/r2 [P, TI, TJ] streaming kernel (kept as oracle).
+    pair_kernel: int = 2
 
 
 @dataclass(frozen=True)

@@ -245,7 +245,14 @@ class GossipNet(nn.Module):
 
             pool_inputs = {"g": g, "mask": mask}
         elif self.pool_impl == "pallas":
-            from gossipnet_tpu.ops.pallas.pairwise import pallas_pair_pool
+            if cfg.pair_kernel == 2:
+                from gossipnet_tpu.ops.pallas.pairwise2 import (
+                    pallas_pair_pool_v2 as pallas_pair_pool,
+                )
+            else:
+                from gossipnet_tpu.ops.pallas.pairwise import (
+                    pallas_pair_pool,
+                )
 
             cols_stacked = pf.stack_columns(cols)   # [B, C, N]
 

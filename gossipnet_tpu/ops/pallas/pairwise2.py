@@ -1,0 +1,687 @@
+"""Packed 2-D layout streaming pair kernel (v2, ROADMAP r2 #2).
+
+Same function as ops/pallas/pairwise.py (the v1 kernel): the gossip pair
+stage m_i = max_j relu(W2 relu(a_i + b_j + g_ij @ Wg) + b2) over
+neighbor pairs, streamed in TI x TJ tiles so the O(N^2) pair tensor
+never exists in HBM (reference: nms_net/network.py pair machinery,
+materialized dynamically in-graph). Two structural changes, both driven
+by the r2 per-tile ablation (BENCHMARKS.md: ~4.3 us/tile of the 6.8
+hides in Mosaic relayouts around the dots):
+
+1. SEPARABLE FEATURES FOLD OUT OF THE KERNEL. Of the paper's pair
+   features g_ij (pair_features.py order: iou, dx/w_i, dy/h_i,
+   dlog w, dlog h, dlog aspect, s_i, s_j[, class-match]), five are
+   additively separable (g_k = alpha_k(i) + beta_k(j)) and the dx/dy
+   i-halves are i-only, so their Wg contributions fold into the
+   per-detection a/b terms as O(N) XLA matmuls BEFORE the kernel
+   (fold_separable). In-kernel pairwise work shrinks to iou + two
+   rank-1 products (cx_j/w_i, cy_j/h_i) + class-match — 3-4 feature
+   rows instead of 8-9 planes.
+
+2. ONE 2-D LAYOUT END TO END. All pair tensors are [R, M~] with
+   R = P*pk rows (r = p*pk + s: hidden p major, row-chunk s minor) and
+   M~ = TI*TJ/pk lanes (chunk s covers detections i in
+   [s*TI/pk, (s+1)*TI/pk), lane m' = t*TJ + j). pk=8 gives full f32
+   sublane occupancy for the feature VPU math, weights become
+   kron(W, I_pk) so FC2 contracts over P*pk = 256 full MXU rows, and
+   the [TI,TJ]->[1,M] feature flattens plus the [P,M]<->[P,TI,TJ]
+   reshapes around the dots disappear. The only per-tile relayout left
+   is the final lane-group reduce ([R, M~] -> [R, TI/pk, TJ] view).
+
+The backward (flash-style full recompute, custom VJP) shares the
+layout and removes the v1 zero-filled d_b partials buffer
+([B, NI, P, NC] HBM traffic): d_b accumulates into a whole-[P, NC]
+per-batch out block whose block index is constant within each batch
+element (VMEM-resident, one DMA per b), weight grads accumulate as
+full packed [R, .] blocks with the kron block-diagonals extracted
+XLA-side afterwards, and inactive (block-sparse) tiles skip ALL
+gradient work with no zero-fill writes.
+
+Same documented VJP tie divergence as v1 (exact h2 == m ties each get
+the full gradient); the packing is bitwise-transparent (per-element
+contraction order is tile-size independent), so forward/backward may
+even use different tile shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gossipnet_tpu.ops import pair_features as pf
+from gossipnet_tpu.ops.pallas.pairwise import (
+    _flat_flag_index,
+    _round_up,
+    _safe_pad_cols,
+    _tile_activity,
+)
+
+_EPS = 1e-6  # pf._EPS, the iou union clamp
+
+# wg row indices (pair_features.py order) folded into the a (row) / b
+# (col) terms outside the kernel, and the rows kept in-kernel.
+_SEP_I = (1, 2, 3, 4, 5, 6)   # dx_i-half, dy_i-half, -dlogs, s_i
+_SEP_J = (3, 4, 5, 7)         # +dlogs, s_j
+_KERNEL_ROWS = (0, 1, 2)      # iou, cx_j * inv_w_i, cy_j * inv_h_i
+_KERNEL_ROWS_MC = (0, 1, 2, 8)  # + class-match
+
+# i-side derived column order in the colsI kernel input
+_CI_FIELDS = ("x1", "y1", "x2", "y2", "area", "inv_w", "inv_h", "valid")
+# j-side stacked column order in the colsJ kernel input
+_CJ_FIELDS = ("x1", "y1", "x2", "y2", "area", "cx", "cy", "valid")
+
+
+@dataclasses.dataclass(frozen=True)
+class PoolSpec2:
+    """Static v2 kernel configuration (hashable custom_vjp nondiff arg)."""
+
+    neighbor_iou: float
+    multiclass: bool
+    p: int                # pairwise hidden width
+    pk: int               # sublane pack (8 = full f32 occupancy)
+    ti: int               # forward row tile
+    tj: int               # forward col tile
+    ti_b: int             # backward row tile (may differ; see module doc)
+    tj_b: int
+    interpret: bool
+    compute_dtype: str = "bfloat16"
+    block_sparse: bool = True
+
+    @property
+    def r(self) -> int:
+        return self.p * self.pk
+
+    @property
+    def k(self) -> int:
+        return 4 if self.multiclass else 3
+
+    @property
+    def ci(self) -> int:
+        return len(_CI_FIELDS) + (1 if self.multiclass else 0)
+
+    @property
+    def cj(self) -> int:
+        return len(_CJ_FIELDS) + (1 if self.multiclass else 0)
+
+
+# ---------------------------------------------------------------------------
+# XLA-side preparation
+# ---------------------------------------------------------------------------
+
+
+def _unstack(cols_stacked: Array, multiclass: bool):
+    """[B, C(+1), N] stacked columns -> (DetColumns of [B, N], classes)."""
+    cols = pf.unstack_columns(cols_stacked[:, : pf.NUM_COLUMNS, :])
+    classes = cols_stacked[:, pf.NUM_COLUMNS, :] if multiclass else None
+    return cols, classes
+
+
+def fold_separable(
+    wg: Array, a: Array, b: Array,
+    row_stacked: Array, col_stacked: Array, multiclass: bool,
+) -> tuple[Array, Array]:
+    """Fold the separable pair-feature contributions into a and b.
+
+    a' = a + [-cx/w, -cy/h, -log w, -log h, -log ar, s]_i @ wg[_SEP_I]
+    b' = b + [log w, log h, log ar, s]_j @ wg[_SEP_J]
+
+    Plain XLA (differentiable in wg; boxes/scores are non-trainable).
+    """
+    ci, _ = _unstack(row_stacked, multiclass)
+    cj, _ = _unstack(col_stacked, multiclass)
+    i_feats = jnp.stack(
+        [-ci.cx / ci.w, -ci.cy / ci.h, -ci.log_w, -ci.log_h,
+         -ci.log_aspect, ci.score], axis=-1)            # [B, NR, 6]
+    j_feats = jnp.stack(
+        [cj.log_w, cj.log_h, cj.log_aspect, cj.score], axis=-1)
+    wg = wg.astype(jnp.float32)
+    a2 = a + i_feats @ wg[jnp.asarray(_SEP_I), :]
+    b2 = b + j_feats @ wg[jnp.asarray(_SEP_J), :]
+    return a2, b2
+
+
+def _cols_i_input(spec: PoolSpec2, row_stacked: Array, ti: int) -> Array:
+    """Row-side derived columns, pre-arranged per row tile:
+    [B, NI, CI, pk, TI/pk] with (s, t) <-> local detection s*TI/pk + t."""
+    cols, classes = _unstack(row_stacked, spec.multiclass)
+    fields = [cols.x1, cols.y1, cols.x2, cols.y2, cols.area,
+              1.0 / cols.w, 1.0 / cols.h, cols.valid]
+    if spec.multiclass:
+        fields.append(classes)
+    x = jnp.stack(fields, axis=1)                       # [B, CI, NR]
+    b, c, nr = x.shape
+    ni, tipk = nr // ti, ti // spec.pk
+    return (x.reshape(b, c, ni, spec.pk, tipk)
+            .transpose(0, 2, 1, 3, 4))                  # [B, NI, CI, pk, tipk]
+
+
+def _cols_j_input(spec: PoolSpec2, col_stacked: Array) -> Array:
+    """Col-side stacked columns [B, CJ, NC]."""
+    cols, classes = _unstack(col_stacked, spec.multiclass)
+    fields = [cols.x1, cols.y1, cols.x2, cols.y2, cols.area,
+              cols.cx, cols.cy, cols.valid]
+    if spec.multiclass:
+        fields.append(classes)
+    return jnp.stack(fields, axis=1)
+
+
+def _pack_rows(spec: PoolSpec2, x: Array, ti: int) -> Array:
+    """[B, NR, P] -> [B, NI, R, TI/pk] in the p-major kernel row layout
+    (row p*pk + s, lane t <-> local detection s*TI/pk + t)."""
+    b, nr, p = x.shape
+    pk = spec.pk
+    ni, tipk = nr // ti, ti // pk
+    return (x.reshape(b, ni, pk, tipk, p).transpose(0, 1, 4, 2, 3)
+            .reshape(b, ni, pk * p, tipk))
+
+
+def _unpack_rows(spec: PoolSpec2, y: Array) -> Array:
+    """Inverse of :func:`_pack_rows` -> [B, NR, P]."""
+    b, ni, r, tipk = y.shape
+    pk = spec.pk
+    p = r // pk
+    return (y.reshape(b, ni, p, pk, tipk).transpose(0, 1, 3, 4, 2)
+            .reshape(b, ni * pk * tipk, p))
+
+
+def _kron_weights(spec: PoolSpec2, wg_k: Array, w2: Array, b2: Array):
+    """kron(W, I_pk) packed weights for the [R, M~] dots (f32)."""
+    eye = jnp.eye(spec.pk, dtype=jnp.float32)
+    wgT8 = jnp.kron(wg_k.T.astype(jnp.float32), eye)    # [R, K*pk]
+    w2T8 = jnp.kron(w2.T.astype(jnp.float32), eye)      # [R, R]
+    b28 = jnp.repeat(b2.astype(jnp.float32)[:, None], spec.pk,
+                     axis=0).reshape(spec.r, 1)
+    return wgT8, w2T8, b28
+
+
+def _diag_extract(spec: PoolSpec2, full: Array, cols_per_block: int) -> Array:
+    """[R, K*pk] accumulated kron-layout grad -> [P, K]: the (p, k)
+    entry sums the s-diagonal of each pk x pk block (XLA-side)."""
+    p, pk = spec.p, spec.pk
+    x = full.reshape(p, pk, cols_per_block, pk)
+    return jnp.einsum("psks->pk", x)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel tile computation
+# ---------------------------------------------------------------------------
+
+
+def _lane_expand(x: Array, tj: int) -> Array:
+    """[rows, T] -> [rows, T*tj], each lane value repeated tj times
+    (the hoisted-once-per-row-tile broadcast)."""
+    rows, t = x.shape
+    return jnp.broadcast_to(x[:, :, None], (rows, t, tj)).reshape(
+        rows, t * tj)
+
+
+def _j_expand(row: Array, pk: int, tipk: int) -> Array:
+    """[1, TJ] col-side row -> [pk, M~] (sublane broadcast + lane tile)."""
+    tj = row.shape[-1]
+    return jnp.tile(jnp.broadcast_to(row, (pk, tj)), (1, tipk))
+
+
+def _tile_core(spec: PoolSpec2, ci_scr, colsJ_t, ti: int, tj: int):
+    """Shared forward tile math -> (g8 [K*pk, M~], neighbor [pk, M~]).
+
+    ci_scr: [CI, pk, M~] hoisted lane-expanded row-side columns.
+    colsJ_t: [CJ, TJ] col-side stacked columns for this col tile.
+    """
+    pk, tipk = spec.pk, ti // spec.pk
+    jx = {name: _j_expand(colsJ_t[c:c + 1, :], pk, tipk)
+          for c, name in enumerate(_CJ_FIELDS)}
+    ix1, iy1, ix2, iy2 = (ci_scr[c] for c in range(4))
+    iarea, iinvw, iinvh, ivalid = (ci_scr[c] for c in range(4, 8))
+
+    iw = jnp.maximum(jnp.minimum(ix2, jx["x2"]) - jnp.maximum(ix1, jx["x1"]),
+                     0.0)
+    ih = jnp.maximum(jnp.minimum(iy2, jx["y2"]) - jnp.maximum(iy1, jx["y1"]),
+                     0.0)
+    inter = iw * ih
+    union = iarea + jx["area"] - inter
+    iou = inter / jnp.maximum(union, _EPS)              # [pk, M~]
+
+    feats = [iou, jx["cx"] * iinvw, jx["cy"] * iinvh]
+    neighbor = ((iou >= spec.neighbor_iou)
+                & (ivalid > 0.0) & (jx["valid"] > 0.0))
+    if spec.multiclass:
+        jcls = _j_expand(colsJ_t[len(_CJ_FIELDS):len(_CJ_FIELDS) + 1, :],
+                         pk, tipk)
+        feats.append((ci_scr[8] == jcls).astype(jnp.float32))
+    g8 = jnp.concatenate(feats, axis=0)                 # [K*pk, M~]
+    return g8, neighbor
+
+
+def _pair_mlp(spec: PoolSpec2, g8, a_scr, b8, wgT8_ref, w2T8_ref, b28_ref):
+    """(h1, h2) [R, M~] from the packed dots."""
+    mm = jnp.dtype(spec.compute_dtype)
+    gw = jax.lax.dot_general(
+        wgT8_ref[:].astype(mm), g8.astype(mm),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # [R, M~]
+    h1 = jnp.maximum(a_scr + b8 + gw, 0.0)
+    pre2 = jax.lax.dot_general(
+        w2T8_ref[:].astype(mm), h1.astype(mm),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b28_ref[:]
+    h2 = jnp.maximum(pre2, 0.0)
+    return h1, h2
+
+
+def _mask_tile(spec: PoolSpec2, neighbor: Array, x: Array):
+    """x [R, M~] * neighbor [pk, M~] broadcast over p (p-major rows).
+
+    Uses the free major split [R, X] <-> [P, pk, X] when pk == 8 (rows
+    group exactly into f32 vregs); otherwise tiles explicitly.
+    Exact because h2 >= 0: max(h2 * mask) == the -inf-masked max with
+    no-neighbor rows mapping to 0 (the dense path's final fixup value).
+    """
+    nf = neighbor.astype(x.dtype)
+    if spec.pk == 8:
+        x3 = x.reshape(spec.p, spec.pk, x.shape[-1])
+        return (x3 * nf[None]).reshape(x.shape)
+    return x * jnp.tile(nf, (spec.p, 1))
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
+                wgT8_ref, w2T8_ref, b28_ref, out_ref, a_scr, ci_scr,
+                *, spec: PoolSpec2):
+    b_idx, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    ni, nj = pl.num_programs(1), pl.num_programs(2)
+    active = flags_ref[_flat_flag_index(b_idx, i, j, ni, nj)] > 0
+    ti, tj = spec.ti, spec.tj
+    tipk = ti // spec.pk
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0, 0] = jnp.zeros(out_ref.shape[2:], jnp.float32)
+        a_scr[:] = _lane_expand(aT8_ref[0, 0], tj)
+        for c in range(spec.ci):
+            ci_scr[c] = _lane_expand(colsI_ref[0, 0, c], tj)
+
+    @pl.when(active)
+    def _():
+        g8, neighbor = _tile_core(spec, ci_scr, colsJ_ref[0], ti, tj)
+        b8 = jnp.tile(bT8_ref[0], (1, tipk))            # [R, M~]
+        _, h2 = _pair_mlp(spec, g8, a_scr[:], b8,
+                          wgT8_ref, w2T8_ref, b28_ref)
+        masked = _mask_tile(spec, neighbor, h2)
+        red = jnp.max(masked.reshape(spec.r, tipk, tj), axis=2)
+        out_ref[0, 0] = jnp.maximum(out_ref[0, 0], red)
+
+
+def _in_specs(spec: PoolSpec2, ti: int, tj: int):
+    r, pk = spec.r, spec.pk
+    tipk = ti // pk
+    return [
+        pl.BlockSpec((1, 1, spec.ci, pk, tipk),
+                     lambda b_, i, j, *_: (b_, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, spec.cj, tj), lambda b_, i, j, *_: (b_, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, r, tipk), lambda b_, i, j, *_: (b_, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, r, tj), lambda b_, i, j, *_: (b_, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, spec.k * pk), lambda b_, i, j, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, r), lambda b_, i, j, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, 1), lambda b_, i, j, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _make_flags(spec: PoolSpec2, row_stacked, col_stacked, ti, tj) -> Array:
+    b = row_stacked.shape[0]
+    nr, nc = row_stacked.shape[2], col_stacked.shape[2]
+    ni, nj = nr // ti, nc // tj
+    if spec.block_sparse and spec.neighbor_iou > 0.0:
+        # _tile_activity consumes v1's layouts: [B, NR, C] / [B, C, NC].
+        return _tile_activity(
+            jnp.swapaxes(row_stacked, 1, 2), col_stacked, ti, tj)
+    return jnp.ones(b * ni * nj, jnp.int32)
+
+
+def _forward(spec: PoolSpec2, row_stacked, col_stacked, a2, b2,
+             wg_k, w2, b2bias) -> Array:
+    bsz = row_stacked.shape[0]
+    nr, nc = row_stacked.shape[2], col_stacked.shape[2]
+    ti, tj = spec.ti, spec.tj
+    ni, nj = nr // ti, nc // tj
+    r, pk = spec.r, spec.pk
+    tipk = ti // pk
+    mt = tipk * tj
+
+    flags = _make_flags(spec, row_stacked, col_stacked, ti, tj)
+    colsI = _cols_i_input(spec, row_stacked, ti)
+    colsJ = _cols_j_input(spec, col_stacked)
+    aT8 = _pack_rows(spec, a2, ti)
+    bT8 = jnp.repeat(jnp.swapaxes(b2, 1, 2), pk, axis=1)  # [B, R, NC]
+    wgT8, w2T8, b28 = _kron_weights(spec, wg_k, w2, b2bias)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, ni, nj),
+        in_specs=_in_specs(spec, ti, tj),
+        out_specs=pl.BlockSpec((1, 1, r, tipk),
+                               lambda b_, i, j, *_: (b_, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((r, mt), jnp.float32),
+            pltpu.VMEM((spec.ci, pk, mt), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, spec=spec),
+        out_shape=jax.ShapeDtypeStruct((bsz, ni, r, tipk), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=spec.interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ) if not spec.interpret else None,
+        cost_estimate=pl.CostEstimate(
+            flops=bsz * nr * nc * (2 * spec.p * spec.p
+                                   + (spec.k + 6) * spec.p),
+            bytes_accessed=bsz * (nr + nc) * (spec.ci + 2 * spec.p) * 4,
+            transcendentals=0,
+        ),
+    )(flags, colsI, colsJ, aT8, bT8, wgT8, w2T8, b28)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
+                wgT8_ref, w2T8_ref, b28_ref, w28_ref, m_ref, dm_ref,
+                da_ref, db_ref, dwg_ref, dw2_ref, db2_ref,
+                a_scr, ci_scr, m_scr, dm_scr, *, spec: PoolSpec2):
+    """Fused backward: recompute tiles, route grads through max winners.
+
+    Accumulators (all VMEM-resident across their index lifetime):
+      da_ref  [1, 1, R, TI/pk]  per (b, i), accumulated over j
+      db_ref  [1, P, NC]        per b, accumulated over (i, j), written
+                                 at lane offset j*TJ per tile
+      dwg/dw2/db2               whole-grid packed [R, .] accumulators
+    Inactive tiles skip everything (no zero-fill partials).
+    """
+    b_idx, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    ni, nj = pl.num_programs(1), pl.num_programs(2)
+    active = flags_ref[_flat_flag_index(b_idx, i, j, ni, nj)] > 0
+    ti, tj = spec.ti_b, spec.tj_b
+    pk, p, r = spec.pk, spec.p, spec.r
+    tipk = ti // pk
+    mm = jnp.dtype(spec.compute_dtype)
+
+    @pl.when(j == 0)
+    def _():
+        da_ref[0, 0] = jnp.zeros((r, tipk), jnp.float32)
+        a_scr[:] = _lane_expand(aT8_ref[0, 0], tj)
+        m_scr[:] = _lane_expand(m_ref[0, 0], tj)
+        dm_scr[:] = _lane_expand(dm_ref[0, 0], tj)
+        for c in range(spec.ci):
+            ci_scr[c] = _lane_expand(colsI_ref[0, 0, c], tj)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        db_ref[0] = jnp.zeros(db_ref.shape[1:], jnp.float32)
+
+    @pl.when((b_idx == 0) & (i == 0) & (j == 0))
+    def _():
+        dwg_ref[:] = jnp.zeros(dwg_ref.shape, jnp.float32)
+        dw2_ref[:] = jnp.zeros(dw2_ref.shape, jnp.float32)
+        db2_ref[:] = jnp.zeros(db2_ref.shape, jnp.float32)
+
+    @pl.when(active)
+    def _():
+        g8, neighbor = _tile_core(spec, ci_scr, colsJ_ref[0], ti, tj)
+        b8 = jnp.tile(bT8_ref[0], (1, tipk))
+        h1, h2 = _pair_mlp(spec, g8, a_scr[:], b8,
+                           wgT8_ref, w2T8_ref, b28_ref)
+        # Win mask: exact equality vs the streamed max (see v1 module
+        # docstring for the tie-divergence note). Mask by neighborship
+        # in the same [P, pk, X] broadcast form as the forward.
+        win = (h2 == m_scr[:])
+        dh2 = jnp.where(win & (h2 > 0.0), dm_scr[:], 0.0)
+        dh2 = _mask_tile(spec, neighbor, dh2)
+        # h2 > 0 above subsumes the dpre2 relu gate (relu' at h2 == 0).
+        dpre2 = dh2
+        dh1 = jax.lax.dot_general(
+            w28_ref[:].astype(mm), dpre2.astype(mm),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dpre1 = jnp.where(h1 > 0.0, dh1, 0.0)           # [R, M~]
+
+        v3 = dpre1.reshape(r, tipk, tj)
+        da_ref[0, 0] = da_ref[0, 0] + jnp.sum(v3, axis=2)
+        colsum = jnp.sum(v3, axis=1)                    # [R, TJ]
+        db_ref[0, :, pl.ds(j * tj, tj)] = (
+            db_ref[0, :, pl.ds(j * tj, tj)]
+            + jnp.sum(colsum.reshape(p, pk, tj), axis=1))
+        dwg_ref[:] = dwg_ref[:] + jax.lax.dot_general(
+            dpre1.astype(mm), g8.astype(mm),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # [R, K*pk]
+        dw2_ref[:] = dw2_ref[:] + jax.lax.dot_general(
+            dpre2.astype(mm), h1.astype(mm),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # [R(out), R(in)]
+        db2_ref[:] = db2_ref[:] + jnp.sum(dpre2, axis=1, keepdims=True)
+
+
+def _backward(spec: PoolSpec2, residuals, dm):
+    row_stacked, col_stacked, a2, b2, wg_k, w2, b2bias, m = residuals
+    bsz = row_stacked.shape[0]
+    nr, nc = row_stacked.shape[2], col_stacked.shape[2]
+    ti, tj = spec.ti_b, spec.tj_b
+    ni, nj = nr // ti, nc // tj
+    r, pk, p = spec.r, spec.pk, spec.p
+    tipk = ti // pk
+    mt = tipk * tj
+
+    flags = _make_flags(spec, row_stacked, col_stacked, ti, tj)
+    colsI = _cols_i_input(spec, row_stacked, ti)
+    colsJ = _cols_j_input(spec, col_stacked)
+    aT8 = _pack_rows(spec, a2, ti)
+    bT8 = jnp.repeat(jnp.swapaxes(b2, 1, 2), pk, axis=1)
+    wgT8, w2T8, b28 = _kron_weights(spec, wg_k, w2, b2bias)
+    w28 = jnp.kron(w2.astype(jnp.float32), jnp.eye(pk, dtype=jnp.float32))
+    m8 = _pack_rows(spec, m, ti)
+    dm8 = _pack_rows(spec, dm, ti)
+
+    in_specs = _in_specs(spec, ti, tj) + [
+        pl.BlockSpec((r, r), lambda b_, i, j, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, r, tipk), lambda b_, i, j, *_: (b_, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, r, tipk), lambda b_, i, j, *_: (b_, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    da8, db_t, dwg_full, dw2_full, db2_full = pl.pallas_call(
+        functools.partial(_bwd_kernel, spec=spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, ni, r, tipk), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, p, nc), jnp.float32),
+            jax.ShapeDtypeStruct((r, spec.k * pk), jnp.float32),
+            jax.ShapeDtypeStruct((r, r), jnp.float32),
+            jax.ShapeDtypeStruct((r, 1), jnp.float32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, ni, nj),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1, 1, r, tipk),
+                             lambda b_, i, j, *_: (b_, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p, nc), lambda b_, i, j, *_: (b_, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r, spec.k * pk), lambda b_, i, j, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r, r), lambda b_, i, j, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r, 1), lambda b_, i, j, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((r, mt), jnp.float32),
+                pltpu.VMEM((spec.ci, pk, mt), jnp.float32),
+                pltpu.VMEM((r, mt), jnp.float32),
+                pltpu.VMEM((r, mt), jnp.float32),
+            ],
+        ),
+        interpret=spec.interpret,
+    )(flags, colsI, colsJ, aT8, bT8, wgT8, w2T8, b28, w28, m8, dm8)
+
+    da2 = _unpack_rows(spec, da8)                       # [B, NR, P]
+    db2_grad = jnp.swapaxes(db_t, 1, 2)                 # [B, NC, P]
+    dwg_k = _diag_extract(spec, dwg_full, spec.k).T     # [K, P]
+    # dw2_full rows are pre2-space (p_out), cols h1-space (p_in);
+    # diag-extract -> [P_out, P_in]; the primal w2 is [P_in, P_out].
+    dw2 = _diag_extract(spec, dw2_full, p).T
+    db2b = jnp.sum(db2_full.reshape(p, pk), axis=1)
+    return (jnp.zeros_like(row_stacked), jnp.zeros_like(col_stacked),
+            da2, db2_grad, dwg_k, dw2, db2b)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp plumbing
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pair_pool2_p(spec: PoolSpec2, row_stacked, col_stacked, a2, b2,
+                  wg_k, w2, b2bias):
+    m8 = _forward(spec, row_stacked, col_stacked, a2, b2, wg_k, w2, b2bias)
+    return _unpack_rows(spec, m8)
+
+
+def _pair_pool2_fwd(spec, row_stacked, col_stacked, a2, b2, wg_k, w2,
+                    b2bias):
+    m8 = _forward(spec, row_stacked, col_stacked, a2, b2, wg_k, w2, b2bias)
+    m = _unpack_rows(spec, m8)
+    # m is saved UNPACKED; the backward repacks for its own tile shape —
+    # bitwise-transparent (packing is a permutation; per-element
+    # contraction order does not depend on the tile shape).
+    return m, (row_stacked, col_stacked, a2, b2, wg_k, w2, b2bias, m)
+
+
+def _pair_pool2_bwd(spec, residuals, dm):
+    return _backward(spec, residuals, dm)
+
+
+_pair_pool2_p.defvjp(_pair_pool2_fwd, _pair_pool2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public wrappers (signature-compatible with pairwise.py v1)
+# ---------------------------------------------------------------------------
+
+
+def pallas_pair_pool_rect_v2(
+    row_cols: Array,         # [B, C, NR] stacked columns, ROW detections
+    col_cols: Array,         # [B, C, NC] stacked columns, COL detections
+    a_rows: Array,           # [B, NR, P] = r_rows @ Wa + b1
+    b_cols: Array,           # [B, NC, P] = r_cols @ Wb
+    params,                  # models.gossipnet.PairParams
+    neighbor_iou: float,
+    row_classes: Array | None = None,
+    col_classes: Array | None = None,
+    tile: int = 128,
+    interpret: bool | None = None,
+    compute_dtype: str = "bfloat16",
+    block_sparse: bool = True,
+    tile_i: int | None = None,
+    tile_j: int | None = None,
+    pack: int = 8,
+    bwd_tile_i: int | None = None,
+) -> Array:
+    """Rectangular v2 streaming pair stage -> m [B, NR, P].
+
+    Drop-in equivalent of pairwise.py's ``pallas_pair_pool_rect`` (same
+    function of the same PairParams); see the module docstring for the
+    v2 layout. ``pack`` is the sublane packing (8 = full f32 vreg
+    occupancy). The separable-feature fold happens here in XLA, so wg
+    gradients assemble from the fold matmuls + the kernel's cotangents.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    multiclass = row_classes is not None
+    bsz, c, nr = row_cols.shape
+    nc = col_cols.shape[2]
+    p = a_rows.shape[-1]
+    if multiclass:
+        row_cols = jnp.concatenate(
+            [row_cols, row_classes[:, None, :].astype(jnp.float32)], axis=1)
+        col_cols = jnp.concatenate(
+            [col_cols, col_classes[:, None, :].astype(jnp.float32)], axis=1)
+
+    # Separable fold BEFORE padding (padding rows are inert either way).
+    wg = params.wg.astype(jnp.float32)
+    a2, b2 = fold_separable(wg, a_rows.astype(jnp.float32),
+                            b_cols.astype(jnp.float32),
+                            row_cols, col_cols, multiclass)
+    rows_idx = _KERNEL_ROWS_MC if multiclass else _KERNEL_ROWS
+    wg_k = wg[jnp.asarray(rows_idx), :]                 # [K, P]
+
+    pk = pack
+    ti = min(tile_i or tile, _round_up(nr, pk))
+    tj = min(tile_j or tile, _round_up(nc, 128))
+    ti = _round_up(ti, pk)
+    ti_b = bwd_tile_i or ti
+    nr_pad = _round_up(nr, math.lcm(ti, ti_b))
+    nc_pad = _round_up(nc, tj)
+    if nr_pad != nr:
+        row_cols = _safe_pad_cols(row_cols, nr_pad - nr, multiclass)
+        a2 = jnp.pad(a2, ((0, 0), (0, nr_pad - nr), (0, 0)))
+    if nc_pad != nc:
+        col_cols = _safe_pad_cols(col_cols, nc_pad - nc, multiclass)
+        b2 = jnp.pad(b2, ((0, 0), (0, nc_pad - nc), (0, 0)))
+
+    spec = PoolSpec2(
+        neighbor_iou=float(neighbor_iou), multiclass=multiclass,
+        p=p, pk=pk, ti=ti, tj=tj, ti_b=ti_b, tj_b=tj,
+        interpret=bool(interpret), compute_dtype=compute_dtype,
+        block_sparse=block_sparse,
+    )
+    m = _pair_pool2_p(
+        spec, row_cols.astype(jnp.float32), col_cols.astype(jnp.float32),
+        a2, b2, wg_k, params.w2.astype(jnp.float32),
+        params.b2.astype(jnp.float32),
+    )                                                   # [B, NR_pad, P]
+    return m[:, :nr, :]
+
+
+def pallas_pair_pool_v2(
+    cols_stacked: Array,
+    a: Array,
+    b: Array,
+    params,
+    neighbor_iou: float,
+    classes: Array | None = None,
+    **kw,
+) -> Array:
+    """Square v2 wrapper (same signature family as v1's)."""
+    return pallas_pair_pool_rect_v2(
+        cols_stacked, cols_stacked, a, b, params, neighbor_iou,
+        row_classes=classes, col_classes=classes, **kw,
+    )

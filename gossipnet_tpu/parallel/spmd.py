@@ -30,7 +30,12 @@ from gossipnet_tpu.models.gossipnet import PAD_LOGIT, PairParams
 from gossipnet_tpu.ops import order as ordering
 from gossipnet_tpu.ops import pair_features as pf
 from gossipnet_tpu.ops import ranking
-from gossipnet_tpu.ops.pallas.pairwise import pallas_pair_pool_rect
+from gossipnet_tpu.ops.pallas.pairwise import (
+    pallas_pair_pool_rect as _pair_pool_rect_v1,
+)
+from gossipnet_tpu.ops.pallas.pairwise2 import (
+    pallas_pair_pool_rect_v2 as _pair_pool_rect_v2,
+)
 
 DET_AXIS = "det"
 
@@ -137,7 +142,9 @@ def gossipnet_sharded_forward(
             r_full = r_loc
         a_loc = r_loc @ pair.wa + pair.b1                 # [B, nloc, P]
         b_full = r_full @ pair.wb                         # [B, N, P]
-        m_loc = pallas_pair_pool_rect(
+        pool_rect = (_pair_pool_rect_v2 if cfg.pair_kernel == 2
+                     else _pair_pool_rect_v1)
+        m_loc = pool_rect(
             row_cols, cols_stacked, a_loc, b_full, pair,
             cfg.neighbor_iou,
             row_classes=classes_loc if multiclass else None,

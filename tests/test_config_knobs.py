@@ -217,3 +217,26 @@ def test_pair_hidden_layers_removed():
     assert not hasattr(ModelConfig(), "pair_hidden_layers")
     with pytest.raises(KeyError, match="pair_hidden_layers"):
         load_config(overrides={"model": {"pair_hidden_layers": 3}})
+
+
+# ---------------------------------------------------------- pair_kernel
+def test_pair_kernel_knob_selects_kernel():
+    """pair_kernel=1 (r2 layout) and 2 (packed v2) must both run, agree
+    numerically, and actually lower different kernels (knob consumed)."""
+    rng = np.random.default_rng(3)
+    xy = rng.uniform(0, 150, (2, 48, 2)).astype(np.float32)
+    wh = rng.uniform(10, 50, (2, 48, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    scores = jnp.asarray(rng.uniform(0, 1, (2, 48)).astype(np.float32))
+    valid = jnp.ones((2, 48), bool)
+
+    outs, jaxprs = [], []
+    for version in (1, 2):
+        cfg = _small_model(pair_kernel=version)
+        model = GossipNet(cfg, pool_impl="pallas")
+        params = model.init(jax.random.key(0), boxes, scores, valid)["params"]
+        fn = lambda s: model.apply({"params": params}, boxes, s, valid)
+        outs.append(np.asarray(fn(scores)))
+        jaxprs.append(str(jax.make_jaxpr(fn)(scores)))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-4)
+    assert jaxprs[0] != jaxprs[1]
