@@ -21,28 +21,64 @@ from gossipnet_tpu.models.gossipnet import GossipNet
 from gossipnet_tpu.ops.nms import greedy_nms_np
 
 
+def sharded_forward_fn(cfg, mesh, params, interpret: bool | None = None):
+    """(boxes, scores, valid, classes) -> sigmoid scores over the mesh.
+
+    Adapter putting :func:`make_sharded_inference` behind the
+    ``forward_fn`` hook of :func:`rescore_roidb`, so periodic train-time
+    eval and the eval CLI run SPMD instead of leaving every chip but
+    one idle (VERDICT r2 #4). ``cfg.train.batch_size`` must tile the
+    mesh 'data' axis — eval batches are always full-size.
+    """
+    from gossipnet_tpu.parallel.sharding import make_sharded_inference
+
+    fn = make_sharded_inference(cfg, mesh, interpret=interpret)
+
+    def forward(boxes, scores, valid, classes):
+        n_data = mesh.shape["data"]
+        if boxes.shape[0] % n_data:
+            raise ValueError(
+                f"eval batch size {boxes.shape[0]} does not tile the "
+                f"mesh data axis ({n_data})")
+        import jax.numpy as jnp
+
+        return fn(params, {
+            "boxes": jnp.asarray(boxes), "scores": jnp.asarray(scores),
+            "valid": jnp.asarray(valid), "classes": jnp.asarray(classes),
+        })
+
+    return forward
+
+
 def rescore_roidb(
     params,
     model: GossipNet,
     roidb: Roidb,
     batch_size: int = 8,
     bucket_sizes: Sequence[int] = (256, 512, 1024),
+    forward_fn=None,
 ) -> dict[int, np.ndarray]:
     """New scores per image id: sigmoid(logit), aligned with the record's
-    detection order. One jit specialization per bucket shape."""
+    detection order. One jit specialization per bucket shape.
+
+    ``forward_fn(boxes, scores, valid, classes) -> scores`` overrides
+    the local jitted forward — the mesh path passes
+    :func:`sharded_forward_fn` here.
+    """
     multiclass = model.cfg.num_classes > 1
 
-    @jax.jit
-    def forward(boxes, scores, valid, classes):
-        logits = model.apply(
-            {"params": params}, boxes, scores, valid,
-            classes if multiclass else None,
-        )
-        return jax.nn.sigmoid(logits)
+    if forward_fn is None:
+        @jax.jit
+        def forward_fn(boxes, scores, valid, classes):
+            logits = model.apply(
+                {"params": params}, boxes, scores, valid,
+                classes if multiclass else None,
+            )
+            return jax.nn.sigmoid(logits)
 
     out: dict[int, np.ndarray] = {}
     for batch in eval_batches(roidb, batch_size, bucket_sizes):
-        new_scores = np.asarray(forward(
+        new_scores = np.asarray(forward_fn(
             batch.boxes, batch.scores, batch.valid, batch.classes
         ))
         for i, img_id in enumerate(batch.image_ids):
@@ -76,9 +112,11 @@ def _evaluator_for(
 def evaluate_model(
     params, model: GossipNet, roidb: Roidb,
     batch_size: int = 8, bucket_sizes: Sequence[int] = (256, 512, 1024),
+    forward_fn=None,
 ) -> dict[str, float]:
     """COCO stats for the rescored detections."""
-    rescored = rescore_roidb(params, model, roidb, batch_size, bucket_sizes)
+    rescored = rescore_roidb(params, model, roidb, batch_size, bucket_sizes,
+                             forward_fn=forward_fn)
     return _evaluator_for(roidb, scores_by_image=rescored).summarize()
 
 
@@ -191,11 +229,19 @@ def main(argv=None) -> None:
     else:
         print(f"WARNING: no checkpoint in {ckpt_dir}; evaluating init")
 
+    from gossipnet_tpu.parallel.sharding import mesh_from_config
+
+    mesh = mesh_from_config(cfg, for_training=False)
+    fwd = None
+    if mesh is not None:
+        fwd = sharded_forward_fn(cfg, mesh, state.params)
+        print(f"evaluating on mesh {dict(mesh.shape)}")
     out = {
         "gossipnet": evaluate_model(
             state.params, model, roidb,
             batch_size=cfg.train.batch_size,
             bucket_sizes=cfg.data.bucket_sizes,
+            forward_fn=fwd,
         ),
         "raw_scores": evaluate_raw_scores(roidb),
     }

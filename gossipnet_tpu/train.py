@@ -245,11 +245,19 @@ def train(
     def default_eval(st):
         if val_roidb is None:
             return {}
-        from gossipnet_tpu.evaluate import evaluate_model
+        from gossipnet_tpu.evaluate import evaluate_model, sharded_forward_fn
 
+        fwd = None
+        if mesh is not None:
+            # Periodic eval runs the SAME mesh as training — without
+            # this, the val pass would run on chip 0 while the rest of
+            # the pod idles every eval_every steps (VERDICT r2 #4).
+            fwd = sharded_forward_fn(cfg, mesh, st.params)
+            print(f"eval on mesh {dict(mesh.shape)}", flush=True)
         return evaluate_model(
             st.params, model, val_roidb,
             batch_size=t.batch_size, bucket_sizes=cfg.data.bucket_sizes,
+            forward_fn=fwd,
         )
 
     eval_fn = eval_fn or default_eval

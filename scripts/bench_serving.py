@@ -54,4 +54,40 @@ print(json.dumps({
     "images_per_sec": round(len(images)/dt, 1),
     "dets_per_sec": round(total/dt, 1),
 }), flush=True)
+
+
+# --- per-request latency SLOs (VERDICT r2 #6) ---------------------------
+def pct(lat, q):
+    return round(float(np.percentile(np.asarray(lat) * 1e3, q)), 1)
+
+
+# sync: one request at a time, block for each answer (interactive bound)
+lat_sync = []
+for bx, sc, cl in images:
+    t0 = time.perf_counter()
+    rescorer(bx, sc, cl)
+    lat_sync.append(time.perf_counter() - t0)
+
+# double-buffered stream: enqueue-to-response per request — shows the
+# one-batch response lag the double buffering trades for throughput
+t_in, lat_stream = {}, {}
+
+
+def timed_images():
+    for idx, img in enumerate(images):
+        t_in[idx] = time.perf_counter()
+        yield img
+
+
+for idx, _ in rescorer.rescore_stream(timed_images(), batch_size=8):
+    lat_stream[idx] = time.perf_counter() - t_in[idx]
+lat_stream = list(lat_stream.values())
+
+print(json.dumps({
+    "metric": "serving latency per request (ms)",
+    "sync_p50": pct(lat_sync, 50), "sync_p99": pct(lat_sync, 99),
+    "stream_p50": pct(lat_stream, 50), "stream_p99": pct(lat_stream, 99),
+    "note": "sync = blocking per image; stream = double-buffered "
+            "(throughput-optimal, responses trail by <= 1 batch)",
+}), flush=True)
 print("DONE", flush=True)

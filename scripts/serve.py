@@ -109,6 +109,149 @@ def serve_stream(rescorer: Rescorer, threshold: float,
     return n
 
 
+class TcpServer:
+    """Concurrent JSON-lines rescoring server (VERDICT r2 #6).
+
+    Any number of clients connect over TCP and send one JSON request
+    per line ({"id", "boxes", "scores"[, "classes"]}); responses come
+    back on the same connection as {"id", "new_scores", "keep"}, in
+    request order per connection.
+
+    One worker thread owns the device: it drains the shared request
+    queue, micro-batches CONSECUTIVE same-bucket requests (up to
+    ``batch_size``, waiting at most ``window_ms`` for stragglers), runs
+    one padded forward, and replies. Client reader threads only parse
+    and enqueue, so slow clients never stall the device.
+    """
+
+    def __init__(self, rescorer: Rescorer, host: str = "127.0.0.1",
+                 port: int = 0, threshold: float = 0.5,
+                 batch_size: int = 8, window_ms: float = 2.0):
+        import socket
+
+        self.rescorer = rescorer
+        self.threshold = threshold
+        self.batch_size = batch_size
+        self.window_s = window_ms / 1e3
+        self.sock = socket.create_server((host, port))
+        self.port = self.sock.getsockname()[1]
+        self._queue = None
+        self._threads = []
+        self._stopping = False
+
+    # -- internals --
+    def _parse(self, req):
+        boxes = np.asarray(req["boxes"], np.float32).reshape(-1, 4)
+        scores = np.asarray(req["scores"], np.float32)
+        classes = (np.asarray(req["classes"], np.int32)
+                   if "classes" in req else None)
+        return boxes, scores, classes
+
+    def _reply(self, client, lock, req, new_scores):
+        keep = np.nonzero(new_scores > self.threshold)[0]
+        line = json.dumps({
+            "id": req.get("id"),
+            "new_scores": [round(float(s), 6) for s in new_scores],
+            "keep": keep.tolist(),
+        }) + "\n"
+        with lock:
+            try:
+                client.sendall(line.encode())
+            except OSError:
+                pass   # client went away; drop the response
+
+    def _worker(self):
+        import queue as _q
+        import time
+
+        from gossipnet_tpu.data.bucketing import bucket_for
+
+        carry = None
+        while True:
+            item = carry if carry is not None else self._queue.get()
+            carry = None
+            if item is None:
+                return
+            group = [item]
+            bucket = bucket_for(len(item[3][1]),
+                                self.rescorer.cfg.data.bucket_sizes)
+            deadline = time.monotonic() + self.window_s
+            while len(group) < self.batch_size:
+                timeout = deadline - time.monotonic()
+                try:
+                    nxt = (self._queue.get_nowait() if timeout <= 0
+                           else self._queue.get(timeout=timeout))
+                except _q.Empty:
+                    break
+                if nxt is None:
+                    carry = None
+                    self._queue.put(None)   # let the loop exit after reply
+                    break
+                nb = bucket_for(len(nxt[3][1]),
+                                self.rescorer.cfg.data.bucket_sizes)
+                if nb != bucket:
+                    carry = nxt             # starts the next group
+                    break
+                group.append(nxt)
+            results = self.rescorer.rescore_batch(
+                [g[3] for g in group], batch_size=self.batch_size)
+            for (client, lock, req, _), new_scores in zip(group, results):
+                self._reply(client, lock, req, new_scores)
+
+    def _client_loop(self, client):
+        import threading
+
+        lock = threading.Lock()
+        with client, client.makefile("r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    req = json.loads(line)
+                    image = self._parse(req)
+                except (ValueError, KeyError) as e:
+                    with lock:
+                        client.sendall((json.dumps(
+                            {"error": str(e)[:200]}) + "\n").encode())
+                    continue
+                self._queue.put((client, lock, req, image))
+
+    def _accept_loop(self):
+        import threading
+
+        while True:
+            try:
+                client, _ = self.sock.accept()
+            except OSError:
+                return   # socket closed by stop()
+            t = threading.Thread(target=self._client_loop, args=(client,),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    # -- lifecycle --
+    def start(self):
+        import queue
+        import threading
+
+        self._queue = queue.Queue()
+        self._worker_t = threading.Thread(target=self._worker, daemon=True)
+        self._worker_t.start()
+        self._accept_t = threading.Thread(target=self._accept_loop,
+                                          daemon=True)
+        self._accept_t.start()
+        return self
+
+    def stop(self):
+        self.sock.close()
+        self._queue.put(None)
+        self._worker_t.join(timeout=30)
+
+    def serve_forever(self):
+        self._accept_t.join()
+
+
 def _training_cat_ids(rescorer: Rescorer, categories: str | None) -> list:
     """The TRAINING category-id list (label k = cat_ids[k]).
 
@@ -199,9 +342,19 @@ def main(argv=None):
     p.add_argument("--sync", action="store_true",
                    help="answer each stdin request immediately "
                         "(interactive latency, no batching)")
+    p.add_argument("--tcp", type=int, default=None, metavar="PORT",
+                   help="serve concurrent clients over TCP on PORT "
+                        "(JSON lines per connection; 0 = ephemeral)")
+    p.add_argument("--host", default="127.0.0.1")
     args = p.parse_args(argv)
     rescorer = _build(args)
-    if args.input:
+    if args.tcp is not None:
+        server = TcpServer(rescorer, host=args.host, port=args.tcp,
+                           threshold=args.threshold).start()
+        print(f"serving on {args.host}:{server.port}", file=sys.stderr,
+              flush=True)
+        server.serve_forever()
+    elif args.input:
         if args.output:
             out_path = args.output
         else:

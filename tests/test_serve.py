@@ -158,3 +158,67 @@ def test_file_mode_refuses_overwriting_input(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "dets_rescored.json").exists()
     assert json.loads(inp.read_text())[0]["score"] == 0.5  # untouched
+
+
+def test_tcp_server_concurrent_clients(tmp_path):
+    """Two clients on the TCP server concurrently; every request gets a
+    correct-shape reply on its own connection (VERDICT r2 #6)."""
+    import socket
+    import threading
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_mod", "/root/repo/scripts/serve.py")
+    serve_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve_mod)
+
+    from gossipnet_tpu.api import Rescorer
+    from gossipnet_tpu.config import load_config
+    from gossipnet_tpu.train import build_model
+    import jax
+
+    cfg = load_config(None, {
+        "model": {"num_blocks": 1, "feature_dim": 16, "reduced_dim": 8,
+                  "pairwise_dim": 8},
+        "data": {"bucket_sizes": [32]},
+    })
+    model = build_model(cfg, "dense")
+    rng = np.random.default_rng(0)
+    n0 = 32
+    params = model.init(
+        jax.random.key(0), np.zeros((1, n0, 4), np.float32),
+        np.zeros((1, n0), np.float32), np.ones((1, n0), bool))["params"]
+    rescorer = Rescorer(cfg, params, pool_impl="dense", mesh=None)
+    server = serve_mod.TcpServer(rescorer, port=0, threshold=0.0,
+                                 window_ms=5.0).start()
+    try:
+        results = {}
+
+        def client(name, n_reqs):
+            with socket.create_connection(("127.0.0.1", server.port)) as s:
+                f = s.makefile("r")
+                for k in range(n_reqs):
+                    n = int(rng.integers(3, 12))
+                    xy = rng.uniform(0, 100, (n, 2))
+                    req = {"id": f"{name}-{k}",
+                           "boxes": np.concatenate(
+                               [xy, xy + 10], 1).tolist(),
+                           "scores": rng.uniform(0, 1, n).tolist()}
+                    s.sendall((json.dumps(req) + "\n").encode())
+                    resp = json.loads(f.readline())
+                    results[resp["id"]] = (n, resp)
+
+        threads = [threading.Thread(target=client, args=(c, 3))
+                   for c in ("A", "B")]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == 6, sorted(results)
+        for rid, (n, resp) in results.items():
+            assert len(resp["new_scores"]) == n, rid
+            assert all(0.0 <= s <= 1.0 for s in resp["new_scores"]), rid
+            assert resp["keep"] == [k for k, s in
+                                    enumerate(resp["new_scores"]) if s > 0.0]
+    finally:
+        server.stop()
