@@ -72,6 +72,21 @@ from gossipnet_tpu.ops import pair_features as pf
 NEG_INF = -1e30
 
 
+def _dot_precision(mm):
+    """compute_dtype=float32 must MEAN f32: Mosaic's dot_general with
+    f32 inputs defaults to a single bf16 MXU pass (measured r3,
+    pairwise2.py); HIGHEST forces the exact f32 product. bf16 dots pin
+    DEFAULT *explicitly* (not None): precision=None inherits an ambient
+    ``jax.default_matmul_precision("highest")`` context and Mosaic
+    rejects fp32 contract precision on bf16 operands ("Bad lhs
+    type")."""
+    import jax as _jax
+
+    return (_jax.lax.Precision.HIGHEST
+            if mm == jnp.dtype(jnp.float32)
+            else _jax.lax.Precision.DEFAULT)
+
+
 @dataclasses.dataclass(frozen=True)
 class PoolSpec:
     """Static kernel configuration (hashable; nondiff custom_vjp arg)."""
@@ -179,6 +194,7 @@ def _tile_forward(
     gw = jax.lax.dot_general(
         wgT.astype(mm), g_stack.astype(mm),
         dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=_dot_precision(mm),
         preferred_element_type=jnp.float32,
     ).reshape(pk * p, tipk, tj)
     if a_bcast is None:
@@ -190,6 +206,7 @@ def _tile_forward(
         jax.lax.dot_general(
             w2T.astype(mm), h1.reshape(pk * p, mp).astype(mm),
             dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=_dot_precision(mm),
             preferred_element_type=jnp.float32,
         )
         + b2c
@@ -445,6 +462,7 @@ def _tile_backward_core(spec: PoolSpec, colsT_ref, cols_ref, aT_ref, bT_ref,
     dh1 = jax.lax.dot_general(
         w2_ref[:].astype(mm), dpre2.astype(mm),
         dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=_dot_precision(mm),
         preferred_element_type=jnp.float32,
     )
     dpre1 = jnp.where(h1_2d > 0.0, dh1, 0.0)             # [pk*P, M/pk]
@@ -527,6 +545,7 @@ def _bwd_row_kernel(flags_ref, colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref,
             jax.lax.dot_general(
                 dpre1.astype(mm), g_stack.astype(mm),
                 dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=_dot_precision(mm),
                 preferred_element_type=jnp.float32,
             ),
             spec.num_features,
@@ -537,6 +556,7 @@ def _bwd_row_kernel(flags_ref, colsT_ref, cols_ref, aT_ref, bT_ref, wgT_ref,
             jax.lax.dot_general(
                 h1_2d.astype(mm), dpre2.astype(mm),
                 dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=_dot_precision(mm),
                 preferred_element_type=jnp.float32,
             ),
             p,

@@ -142,8 +142,18 @@ def fold_separable(
     j_feats = jnp.stack(
         [cj.log_w, cj.log_h, cj.log_aspect, cj.score], axis=-1)
     wg = wg.astype(jnp.float32)
-    a2 = a + i_feats @ wg[jnp.asarray(_SEP_I), :]
-    b2 = b + j_feats @ wg[jnp.asarray(_SEP_J), :]
+    # Full f32 precision: TPU's DEFAULT matmul precision is bf16-level
+    # (one MXU pass) and these O(N*P) folds feed the f32 pair stage —
+    # measured 1e-3-relative forward error vs the dense path without
+    # this (the fold is numerics the dense path computes in f32).
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    a2 = a + dot(i_feats, wg[jnp.asarray(_SEP_I), :])
+    b2 = b + dot(j_feats, wg[jnp.asarray(_SEP_J), :])
     return a2, b2
 
 
@@ -259,18 +269,35 @@ def _tile_core(spec: PoolSpec2, ci_scr, colsJ_t, ti: int, tj: int):
     return g8, neighbor
 
 
+
+
+def _dot_precision(mm):
+    """compute_dtype=float32 must MEAN f32: Mosaic's dot_general with f32
+    inputs defaults to a single bf16 MXU pass (measured 1e-3-relative
+    error on chip); HIGHEST forces the exact multi-pass f32 product.
+    bf16 dots pin DEFAULT *explicitly* (not None): precision=None
+    inherits an ambient ``jax.default_matmul_precision("highest")``
+    context, and Mosaic rejects fp32 contract precision on bf16
+    operands ("Bad lhs type", measured on chip)."""
+    return (jax.lax.Precision.HIGHEST
+            if mm == jnp.dtype(jnp.float32)
+            else jax.lax.Precision.DEFAULT)
+
 def _pair_mlp(spec: PoolSpec2, g8, a_scr, b8, wgT8_ref, w2T8_ref, b28_ref):
     """(h1, h2) [R, M~] from the packed dots."""
     mm = jnp.dtype(spec.compute_dtype)
+    prec = _dot_precision(mm)
     gw = jax.lax.dot_general(
         wgT8_ref[:].astype(mm), g8.astype(mm),
         dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=prec,
         preferred_element_type=jnp.float32,
     )                                                   # [R, M~]
     h1 = jnp.maximum(a_scr + b8 + gw, 0.0)
     pre2 = jax.lax.dot_general(
         w2T8_ref[:].astype(mm), h1.astype(mm),
         dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=prec,
         preferred_element_type=jnp.float32,
     ) + b28_ref[:]
     h2 = jnp.maximum(pre2, 0.0)
@@ -299,7 +326,7 @@ def _mask_tile(spec: PoolSpec2, neighbor: Array, x: Array):
 
 def _fwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
                 wgT8_ref, w2T8_ref, b28_ref, out_ref, a_scr, ci_scr,
-                *, spec: PoolSpec2):
+                acc_scr, *, spec: PoolSpec2):
     b_idx, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     ni, nj = pl.num_programs(1), pl.num_programs(2)
     active = flags_ref[_flat_flag_index(b_idx, i, j, ni, nj)] > 0
@@ -308,7 +335,7 @@ def _fwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
 
     @pl.when(j == 0)
     def _():
-        out_ref[0, 0] = jnp.zeros(out_ref.shape[2:], jnp.float32)
+        acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
         a_scr[:] = _lane_expand(aT8_ref[0, 0], tj)
         for c in range(spec.ci):
             ci_scr[c] = _lane_expand(colsI_ref[0, 0, c], tj)
@@ -319,9 +346,17 @@ def _fwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
         b8 = jnp.tile(bT8_ref[0], (1, tipk))            # [R, M~]
         _, h2 = _pair_mlp(spec, g8, a_scr[:], b8,
                           wgT8_ref, w2T8_ref, b28_ref)
-        masked = _mask_tile(spec, neighbor, h2)
-        red = jnp.max(masked.reshape(spec.r, tipk, tj), axis=2)
-        out_ref[0, 0] = jnp.maximum(out_ref[0, 0], red)
+        # Accumulate the running max ELEMENTWISE in the pair layout:
+        # the lane-group reduce below is a real Mosaic relayout
+        # (~2.4 us/tile measured, the single dominant per-tile cost in
+        # the r3 ablation) — max over j-tiles commutes with max within
+        # a tile, so it runs once per ROW tile instead of every tile.
+        acc_scr[:] = jnp.maximum(acc_scr[:], _mask_tile(spec, neighbor, h2))
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[0, 0] = jnp.max(
+            acc_scr[:].reshape(spec.r, tipk, tj), axis=2)
 
 
 def _in_specs(spec: PoolSpec2, ti: int, tj: int):
@@ -384,6 +419,7 @@ def _forward(spec: PoolSpec2, row_stacked, col_stacked, a2, b2,
         scratch_shapes=[
             pltpu.VMEM((r, mt), jnp.float32),
             pltpu.VMEM((spec.ci, pk, mt), jnp.float32),
+            pltpu.VMEM((r, mt), jnp.float32),   # running-max accumulator
         ],
     )
     return pl.pallas_call(
@@ -409,15 +445,26 @@ def _forward(spec: PoolSpec2, row_stacked, col_stacked, a2, b2,
 
 
 def _bwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
-                wgT8_ref, w2T8_ref, b28_ref, w28_ref, m_ref, dm_ref,
+                wgT8_ref, w2T8_ref, b28_ref, w28_ref, sel_ref, t_ref,
+                m_ref, dm_ref,
                 da_ref, db_ref, dwg_ref, dw2_ref, db2_ref,
-                a_scr, ci_scr, m_scr, dm_scr, *, spec: PoolSpec2):
+                a_scr, ci_scr, m_scr, dm_scr, accg_scr,
+                *, spec: PoolSpec2):
     """Fused backward: recompute tiles, route grads through max winners.
 
     Accumulators (all VMEM-resident across their index lifetime):
-      da_ref  [1, 1, R, TI/pk]  per (b, i), accumulated over j
+      da_ref  [1, 1, R, TI/pk]  per (b, i): dpre1 accumulates
+                                 ELEMENTWISE in accg_scr (the lane-group
+                                 reduce is the dominant per-tile relayout
+                                 — see the forward); reduced once at the
+                                 last j step
       db_ref  [1, P, NC]        per b, accumulated over (i, j), written
-                                 at lane offset j*TJ per tile
+                                 at lane offset j*TJ per tile via two
+                                 exact 0/1 selector matmuls (sel: sums
+                                 the pk s-subrows; T: sums lane groups —
+                                 reshape-reduces over sublane/lane groups
+                                 are invalid/expensive Mosaic relayouts,
+                                 MXU matmuls are not)
       dwg/dw2/db2               whole-grid packed [R, .] accumulators
     Inactive tiles skip everything (no zero-fill partials).
     """
@@ -428,10 +475,11 @@ def _bwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
     pk, p, r = spec.pk, spec.p, spec.r
     tipk = ti // pk
     mm = jnp.dtype(spec.compute_dtype)
+    prec = _dot_precision(mm)
 
     @pl.when(j == 0)
     def _():
-        da_ref[0, 0] = jnp.zeros((r, tipk), jnp.float32)
+        accg_scr[:] = jnp.zeros(accg_scr.shape, jnp.float32)
         a_scr[:] = _lane_expand(aT8_ref[0, 0], tj)
         m_scr[:] = _lane_expand(m_ref[0, 0], tj)
         dm_scr[:] = _lane_expand(dm_ref[0, 0], tj)
@@ -465,27 +513,45 @@ def _bwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
         dh1 = jax.lax.dot_general(
             w28_ref[:].astype(mm), dpre2.astype(mm),
             dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=prec,
             preferred_element_type=jnp.float32,
         )
         dpre1 = jnp.where(h1 > 0.0, dh1, 0.0)           # [R, M~]
 
-        v3 = dpre1.reshape(r, tipk, tj)
-        da_ref[0, 0] = da_ref[0, 0] + jnp.sum(v3, axis=2)
-        colsum = jnp.sum(v3, axis=1)                    # [R, TJ]
+        accg_scr[:] = accg_scr[:] + dpre1
+        # db contribution: (sel @ dpre1) @ T — both selectors are 0/1
+        # (bf16-exact), accumulation f32 on the MXU.
+        db_rows = jax.lax.dot_general(
+            sel_ref[:].astype(mm), dpre1.astype(mm),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=prec,
+            preferred_element_type=jnp.float32,
+        )                                               # [P, M~]
         db_ref[0, :, pl.ds(j * tj, tj)] = (
             db_ref[0, :, pl.ds(j * tj, tj)]
-            + jnp.sum(colsum.reshape(p, pk, tj), axis=1))
+            + jax.lax.dot_general(
+                db_rows.astype(mm), t_ref[:].astype(mm),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32))
         dwg_ref[:] = dwg_ref[:] + jax.lax.dot_general(
             dpre1.astype(mm), g8.astype(mm),
             dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=prec,
             preferred_element_type=jnp.float32,
         )                                               # [R, K*pk]
         dw2_ref[:] = dw2_ref[:] + jax.lax.dot_general(
             dpre2.astype(mm), h1.astype(mm),
             dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=prec,
             preferred_element_type=jnp.float32,
         )                                               # [R(out), R(in)]
         db2_ref[:] = db2_ref[:] + jnp.sum(dpre2, axis=1, keepdims=True)
+
+    @pl.when(j == nj - 1)
+    def _():
+        da_ref[0, 0] = jnp.sum(
+            accg_scr[:].reshape(r, tipk, tj), axis=2)
 
 
 def _backward(spec: PoolSpec2, residuals, dm):
@@ -508,8 +574,18 @@ def _backward(spec: PoolSpec2, residuals, dm):
     m8 = _pack_rows(spec, m, ti)
     dm8 = _pack_rows(spec, dm, ti)
 
+    # 0/1 selector constants for the db reduction matmuls (kernel doc).
+    sel = (jnp.arange(r)[None, :] // pk
+           == jnp.arange(p)[:, None]).astype(jnp.float32)    # [P, R]
+    t_sel = (jnp.arange(mt)[:, None] % tj
+             == jnp.arange(tj)[None, :]).astype(jnp.float32)  # [M~, TJ]
+
     in_specs = _in_specs(spec, ti, tj) + [
         pl.BlockSpec((r, r), lambda b_, i, j, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, r), lambda b_, i, j, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mt, tj), lambda b_, i, j, *_: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, r, tipk), lambda b_, i, j, *_: (b_, i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -547,10 +623,18 @@ def _backward(spec: PoolSpec2, residuals, dm):
                 pltpu.VMEM((spec.ci, pk, mt), jnp.float32),
                 pltpu.VMEM((r, mt), jnp.float32),
                 pltpu.VMEM((r, mt), jnp.float32),
+                pltpu.VMEM((r, mt), jnp.float32),   # dpre1 accumulator
             ],
         ),
         interpret=spec.interpret,
-    )(flags, colsI, colsJ, aT8, bT8, wgT8, w2T8, b28, w28, m8, dm8)
+        # The f32-HIGHEST dots (multi-pass) need extra stack on top of
+        # the five scratches; the conservative 16 MB scoped default
+        # OOMs by ~2 MB at ti_b=64/f32 while v5e VMEM has headroom.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ) if not spec.interpret else None,
+    )(flags, colsI, colsJ, aT8, bT8, wgT8, w2T8, b28, w28, sel, t_sel,
+      m8, dm8)
 
     da2 = _unpack_rows(spec, da8)                       # [B, NR, P]
     db2_grad = jnp.swapaxes(db_t, 1, 2)                 # [B, NC, P]
@@ -647,7 +731,14 @@ def pallas_pair_pool_rect_v2(
     ti = min(tile_i or tile, _round_up(nr, pk))
     tj = min(tile_j or tile, _round_up(nc, 128))
     ti = _round_up(ti, pk)
-    ti_b = bwd_tile_i or ti
+    # The backward holds four [R, M~] f32 scratches (a/m/dm hoists +
+    # the i-side columns) on top of the recompute live set; at
+    # ti_b = 128 that lands ~0.4 MB over the 16 MB scoped-vmem limit
+    # (measured), so the backward defaults to half the forward row
+    # tile. Bitwise-safe: per-element values are tile-shape independent
+    # (module docstring), only f32 summation order of the weight-grad
+    # accumulators shifts.
+    ti_b = bwd_tile_i or max(ti // 2 if ti >= 128 else ti, pk)
     nr_pad = _round_up(nr, math.lcm(ti, ti_b))
     nc_pad = _round_up(nc, tj)
     if nr_pad != nr:

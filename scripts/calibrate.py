@@ -6,7 +6,7 @@ absent in this environment, so exact-parity calibration must happen the
 day data exists; this script IS that procedure, runnable today on the
 synthetic proxy to validate the harness end to end.
 
-It trains short runs over the calibration grid SURVEY.md/ROADMAP.md
+It trains short runs over the calibration knobs SURVEY.md/ROADMAP.md
 prescribe — the knobs whose reference settings are MEDIUM-confidence
 paper-derived guesses — and reports val AP per cell:
 
@@ -14,6 +14,17 @@ paper-derived guesses — and reports val AP per cell:
   - positive/negative weighting: balanced vs none
   - loss normalization: per_image vs per_batch
   - score-rank input feature: on vs off
+  - learning rate x schedule (VERDICT r2 #5)
+  - num_blocks (model capacity)
+
+Two modes:
+
+  default (one-at-a-time): vary each knob off the base config alone and
+  report the AP DELTA per knob — the sensitivity playbook PARITY.md
+  records. O(sum of options) runs.
+  --grid: full cartesian product over the four reference-ambiguity
+  knobs (the r2 behavior). O(product) runs — use for the final
+  fine-grained search around the OAT winner.
 
 Usage::
 
@@ -39,6 +50,12 @@ def main(argv=None):
     p.add_argument("-c", "--config", default=None)
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--pool-impl", default=None)
+    p.add_argument("--grid", action="store_true",
+                   help="full cartesian product over the 4 ambiguity "
+                        "knobs instead of the one-at-a-time sweep")
+    p.add_argument("--blocks-axis", type=int, nargs="*",
+                   default=[8, 16, 24],
+                   help="num_blocks options for the OAT sweep")
     args = p.parse_args(argv)
 
     import jax
@@ -80,6 +97,8 @@ def main(argv=None):
         train_db = dataclasses.replace(
             train_db, records=train_db.records[:cut])
 
+    # The four reference-ambiguity knobs (r2 grid) + the r3 additions
+    # (VERDICT #5: LR/schedule and capacity axes).
     grid = {
         "matching.thresholds": [
             (0.5,), tuple(np.round(np.arange(0.5, 1.0, 0.05), 2).tolist())],
@@ -87,36 +106,78 @@ def main(argv=None):
         "loss.normalize": ["per_image", "per_batch"],
         "model.score_rank_feature": [True, False],
     }
+    oat_extra = {
+        "train.learning_rate": [3e-5, 1e-4, 3e-4, 1e-3],
+        "train.lr_schedule": ["constant", "cosine", "step"],
+        "model.num_blocks": args.blocks_axis,
+    }
     raw = evaluate_raw_scores(val_db)
     print(json.dumps({"cell": "raw-scores-baseline", "AP": raw["AP"]}),
           flush=True)
 
-    results = []
-    keys = list(grid)
-    for combo in itertools.product(*grid.values()):
+    def run_cell(cell: dict) -> dict:
         overrides: dict = {}
-        for k, v in zip(keys, combo):
+        for k, v in cell.items():
             sect, field = k.split(".")
             overrides.setdefault(sect, {})[field] = v
         cfg = load_config(args.config, overrides=overrides)
         tmp = tempfile.mkdtemp(prefix="gnet_cal_")
+        tr_over = dict(max_steps=args.steps, checkpoint_dir=f"{tmp}/ck",
+                       eval_every=0, snapshot_every=0,
+                       log_every=max(args.steps, 1))
+        if cfg.train.lr_schedule == "step" and not cfg.train.lr_decay_steps:
+            tr_over["lr_decay_steps"] = (args.steps * 2 // 3,)
         cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(
-                cfg.train, max_steps=args.steps, checkpoint_dir=f"{tmp}/ck",
-                eval_every=0, snapshot_every=0, log_every=max(args.steps, 1),
-            ))
+            cfg, train=dataclasses.replace(cfg.train, **tr_over))
         state = train(cfg, train_db, pool_impl=pool_impl,
                       metrics_path=f"{tmp}/m.jsonl")
         model = build_model(cfg, pool_impl)
-        stats = evaluate_model(
+        return evaluate_model(
             state.params, model, val_db,
             batch_size=cfg.train.batch_size,
             bucket_sizes=cfg.data.bucket_sizes)
-        cell = {k: (list(v) if isinstance(v, tuple) else v)
-                for k, v in zip(keys, combo)}
-        results.append((stats["AP"], cell, stats))
-        print(json.dumps({"cell": cell, "AP": stats["AP"],
-                          "AP50": stats["AP50"]}), flush=True)
+
+    def show(cell):
+        return {k: (list(v) if isinstance(v, tuple) else v)
+                for k, v in cell.items()}
+
+    results = []
+    if args.grid:
+        keys = list(grid)
+        for combo in itertools.product(*grid.values()):
+            cell = dict(zip(keys, combo))
+            stats = run_cell(cell)
+            results.append((stats["AP"], show(cell), stats))
+            print(json.dumps({"cell": show(cell), "AP": stats["AP"],
+                              "AP50": stats["AP50"]}), flush=True)
+    else:
+        # One-at-a-time sensitivity: base config once, then each knob
+        # option alone. The per-knob AP delta IS the parity playbook.
+        base_stats = run_cell({})
+        print(json.dumps({"cell": "BASE", "AP": base_stats["AP"],
+                          "AP50": base_stats["AP50"]}), flush=True)
+        results.append((base_stats["AP"], {"BASE": True}, base_stats))
+        base_vals = {
+            "matching.thresholds": tuple(base.matching.thresholds),
+            "loss.pos_weight_mode": base.loss.pos_weight_mode,
+            "loss.normalize": base.loss.normalize,
+            "model.score_rank_feature": base.model.score_rank_feature,
+            "train.learning_rate": base.train.learning_rate,
+            "train.lr_schedule": base.train.lr_schedule,
+            "model.num_blocks": base.model.num_blocks,
+        }
+        for key, options in {**grid, **oat_extra}.items():
+            for v in options:
+                if v == base_vals.get(key):
+                    continue
+                cell = {key: v}
+                stats = run_cell(cell)
+                delta = stats["AP"] - base_stats["AP"]
+                results.append((stats["AP"], show(cell), stats))
+                print(json.dumps({"cell": show(cell), "AP": stats["AP"],
+                                  "AP50": stats["AP50"],
+                                  "delta_vs_base": round(delta, 4)}),
+                      flush=True)
 
     results.sort(key=lambda r: -r[0])
     print("\n=== ranked (best first) ===")
