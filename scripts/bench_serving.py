@@ -41,7 +41,9 @@ params = model.init(jax.random.key(0),
                     jnp.ones((1, len(s0)), bool))["params"]
 rescorer = Rescorer(cfg, params, pool_impl="pallas")
 
-# warm all bucket shapes
+# warm every reachable (batch, bucket) shape: latency percentiles below
+# must measure steady state, not JIT compiles (p99 was 6.5 s without)
+rescorer.warmup(8)
 rescorer.rescore_batch(images, batch_size=8)
 t0 = time.perf_counter()
 outs = rescorer.rescore_batch(images, batch_size=8)

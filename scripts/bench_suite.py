@@ -21,17 +21,20 @@ from gossipnet_tpu.train import build_model
 rng = np.random.default_rng(7)
 
 def measure(model, params, boxes, scores, valid, k_small=10, k_large=40):
-    @partial(jax.jit, static_argnums=1)
-    def loop(s, K):
+    # params/boxes/valid as jit ARGS, not closure: closure-captured
+    # device arrays inside fori_loop lower as inline constants, each
+    # read back over the RPC tunnel at lowering (~20 min/compile, r3).
+    @partial(jax.jit, static_argnums=0)
+    def loop(K, params, boxes, valid, s):
         def body(k, s):
             out = jax.nn.sigmoid(model.apply({"params": params}, boxes, s, valid))
             return out + k * 1e-7
         return jax.lax.fori_loop(0, K, body, s)
     def run(K):
         s0 = jnp.asarray(rng.uniform(0,1,scores.shape).astype(np.float32))
-        float(jnp.sum(loop(s0, K)))
+        float(jnp.sum(loop(K, params, boxes, valid, s0)))
         s1 = jnp.asarray(rng.uniform(0,1,scores.shape).astype(np.float32))
-        t0=time.perf_counter(); v=float(jnp.sum(loop(s1, K)))
+        t0=time.perf_counter(); v=float(jnp.sum(loop(K, params, boxes, valid, s1)))
         assert np.isfinite(v)
         return time.perf_counter()-t0
     # best of 3 marginal estimates (shared chip shows contention noise)

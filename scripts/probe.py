@@ -40,7 +40,8 @@ def _model_and_data(args):
 
     cfg = Config(
         model=ModelConfig(num_blocks=args.blocks, feature_dim=128,
-                          reduced_dim=32, pairwise_dim=32),
+                          reduced_dim=32, pairwise_dim=32,
+                          pair_matmul_dtype=args.dtype),
         train=TrainConfig(batch_size=args.batch),
         data=DataConfig(bucket_sizes=(args.n,)),
     )
@@ -295,6 +296,8 @@ def main(argv=None):
                    help="pool impl: pallas | pallas2 | dense")
     p.add_argument("--layout", default="bucketed",
                    help="bucketed | clustered | uniform | mixed | blob")
+    p.add_argument("--dtype", default="bfloat16",
+                   help="pair_matmul_dtype: bfloat16 | float32")
     args = p.parse_args(argv)
     enable_compilation_cache()
     globals()[f"mode_{args.mode}"](args)

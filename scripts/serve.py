@@ -235,6 +235,9 @@ class TcpServer:
         import queue
         import threading
 
+        # Pre-compile every reachable (batch, bucket) shape so no
+        # client request pays JIT latency (cold-start SLO).
+        self.rescorer.warmup(self.batch_size)
         self._queue = queue.Queue()
         self._worker_t = threading.Thread(target=self._worker, daemon=True)
         self._worker_t.start()

@@ -144,3 +144,33 @@ def test_rescore_stream_multiclass_guard():
     with pytest.raises(ValueError, match="class ids"):
         list(rescorer.rescore_stream([(rec.det_boxes, rec.det_scores,
                                        None)]))
+
+
+def test_dispatch_pads_batch_to_pow2():
+    """Partial batches pad to the next power of two (inert rows) so the
+    compiled-shape count stays bounded and serving p99 is not compile
+    time; results must be unaffected by the padding rows."""
+    cfg = _cfg()
+    rescorer, roidb = _make_rescorer(cfg)
+    images = [(r.det_boxes, r.det_scores, None) for r in roidb.records[:3]]
+    out3 = rescorer.rescore_batch(images, batch_size=8)   # b=3 -> pad 4
+    compiled = set(rescorer._jitted)
+    assert all(b in (1, 2, 4, 8) for b, _ in compiled), compiled
+    for img, got in zip(images, out3):
+        np.testing.assert_allclose(got, rescorer(img[0], img[1]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_warmup_precompiles_all_reachable_shapes():
+    """After warmup(batch_size), serving any mix of request sizes hits
+    only already-compiled executables."""
+    cfg = _cfg()
+    rescorer, roidb = _make_rescorer(cfg)
+    rescorer.warmup(4)
+    compiled = set(rescorer._jitted)
+    images = [(r.det_boxes, r.det_scores, None) for r in roidb.records]
+    rescorer.rescore_batch(images, batch_size=4)        # full + partial
+    rescorer(roidb.records[0].det_boxes, roidb.records[0].det_scores)
+    assert set(rescorer._jitted) == compiled, (
+        f"new shapes compiled after warmup: "
+        f"{set(rescorer._jitted) - compiled}")
