@@ -25,8 +25,14 @@ hides in Mosaic relayouts around the dots):
    sublane occupancy for the feature VPU math, weights become
    kron(W, I_pk) so FC2 contracts over P*pk = 256 full MXU rows, and
    the [TI,TJ]->[1,M] feature flattens plus the [P,M]<->[P,TI,TJ]
-   reshapes around the dots disappear. The only per-tile relayout left
-   is the final lane-group reduce ([R, M~] -> [R, TI/pk, TJ] view).
+   reshapes around the dots disappear. The per-detection b term also
+   rides the FC1 dot (tiled [P, M~] rows stacked under the features
+   against a 0/1 selector block in wgT8 — _kron_weights) rather than a
+   separate [R, M~] tile + add, and the h2 relu fuses into the
+   neighbor-mask select (_masked_relu). The per-tile relayouts left:
+   the forward's ONCE-PER-ROW-TILE lane-group max reduce ([R, M~] ->
+   [R, TI/pk, TJ] view), amortized across j-tiles via a VMEM
+   running-max scratch.
 
 The backward (flash-style full recompute, custom VJP) shares the
 layout and removes the v1 zero-filled d_b partials buffer
@@ -202,9 +208,21 @@ def _unpack_rows(spec: PoolSpec2, y: Array) -> Array:
 
 
 def _kron_weights(spec: PoolSpec2, wg_k: Array, w2: Array, b2: Array):
-    """kron(W, I_pk) packed weights for the [R, M~] dots (f32)."""
+    """kron(W, I_pk) packed weights for the [R, M~] dots (f32).
+
+    wgT8 carries an extra [R, P] 0/1 selector block (I[p(r) == p'])
+    appended after the K*pk feature columns: contracting it against the
+    tiled b-term rows stacked under g8 adds b on the MXU instead of a
+    separate [R, M~] VPU tile + add (see _pair_mlp)."""
+    import numpy as np
+
     eye = jnp.eye(spec.pk, dtype=jnp.float32)
     wgT8 = jnp.kron(wg_k.T.astype(jnp.float32), eye)    # [R, K*pk]
+    # Pure-np constant: lowers inline, no device round trip at trace or
+    # lowering time (KNOWN_ISSUES #4).
+    b_sel = (np.arange(spec.r)[:, None] // spec.pk
+             == np.arange(spec.p)[None, :]).astype(np.float32)  # [R, P]
+    wgT8 = jnp.concatenate([wgT8, jnp.asarray(b_sel)], axis=1)
     w2T8 = jnp.kron(w2.T.astype(jnp.float32), eye)      # [R, R]
     b28 = jnp.repeat(b2.astype(jnp.float32)[:, None], spec.pk,
                      axis=0).reshape(spec.r, 1)
@@ -283,40 +301,45 @@ def _dot_precision(mm):
             if mm == jnp.dtype(jnp.float32)
             else jax.lax.Precision.DEFAULT)
 
-def _pair_mlp(spec: PoolSpec2, g8, a_scr, b8, wgT8_ref, w2T8_ref, b28_ref):
-    """(h1, h2) [R, M~] from the packed dots."""
+def _pair_mlp(spec: PoolSpec2, g8b, a_scr, wgT8_ref, w2T8_ref, b28_ref):
+    """(h1, pre2) [R, M~] from the packed dots.
+
+    g8b is the pair features STACKED WITH the tiled b-term rows
+    ([K*pk + P, M~]); wgT8_ref carries the matching 0/1 selector block
+    so the b contribution rides the FC1 MXU dot instead of a separate
+    [R, M~] tile + add on the VPU (~0.5 us/tile, measured r3)."""
     mm = jnp.dtype(spec.compute_dtype)
     prec = _dot_precision(mm)
     gw = jax.lax.dot_general(
-        wgT8_ref[:].astype(mm), g8.astype(mm),
+        wgT8_ref[:].astype(mm), g8b.astype(mm),
         dimension_numbers=(((1,), (0,)), ((), ())),
         precision=prec,
         preferred_element_type=jnp.float32,
     )                                                   # [R, M~]
-    h1 = jnp.maximum(a_scr + b8 + gw, 0.0)
+    h1 = jnp.maximum(a_scr + gw, 0.0)
     pre2 = jax.lax.dot_general(
         w2T8_ref[:].astype(mm), h1.astype(mm),
         dimension_numbers=(((1,), (0,)), ((), ())),
         precision=prec,
         preferred_element_type=jnp.float32,
     ) + b28_ref[:]
-    h2 = jnp.maximum(pre2, 0.0)
-    return h1, h2
+    return h1, pre2
 
 
-def _mask_tile(spec: PoolSpec2, neighbor: Array, x: Array):
-    """x [R, M~] * neighbor [pk, M~] broadcast over p (p-major rows).
+def _masked_relu(spec: PoolSpec2, neighbor: Array, pre2: Array):
+    """h2 = relu(pre2) and the neighbor mask fused into ONE select:
+    max(pre2, 0) * neighbor[pk, M~] broadcast over p (p-major rows) —
+    non-neighbor or non-positive entries map to 0, the dense path's
+    no-neighbor fixup value, so max over masked tiles is exact.
 
     Uses the free major split [R, X] <-> [P, pk, X] when pk == 8 (rows
-    group exactly into f32 vregs); otherwise tiles explicitly.
-    Exact because h2 >= 0: max(h2 * mask) == the -inf-masked max with
-    no-neighbor rows mapping to 0 (the dense path's final fixup value).
-    """
-    nf = neighbor.astype(x.dtype)
+    group exactly into f32 vregs); otherwise tiles explicitly."""
     if spec.pk == 8:
-        x3 = x.reshape(spec.p, spec.pk, x.shape[-1])
-        return (x3 * nf[None]).reshape(x.shape)
-    return x * jnp.tile(nf, (spec.p, 1))
+        x3 = pre2.reshape(spec.p, spec.pk, pre2.shape[-1])
+        out = jnp.where(neighbor[None] & (x3 > 0.0), x3, 0.0)
+        return out.reshape(pre2.shape)
+    nb = jnp.tile(neighbor, (spec.p, 1))
+    return jnp.where(nb & (pre2 > 0.0), pre2, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -343,15 +366,20 @@ def _fwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
     @pl.when(active)
     def _():
         g8, neighbor = _tile_core(spec, ci_scr, colsJ_ref[0], ti, tj)
-        b8 = jnp.tile(bT8_ref[0], (1, tipk))            # [R, M~]
-        _, h2 = _pair_mlp(spec, g8, a_scr[:], b8,
-                          wgT8_ref, w2T8_ref, b28_ref)
+        # b rides the FC1 dot: [P, TJ] block tiled to [P, M~] (1/8 the
+        # old [R, M~] tile) stacked under g8 against wgT8's selector
+        # columns (_kron_weights).
+        g8b = jnp.concatenate(
+            [g8, jnp.tile(bT8_ref[0], (1, tipk))], axis=0)
+        _, pre2 = _pair_mlp(spec, g8b, a_scr[:],
+                            wgT8_ref, w2T8_ref, b28_ref)
         # Accumulate the running max ELEMENTWISE in the pair layout:
         # the lane-group reduce below is a real Mosaic relayout
         # (~2.4 us/tile measured, the single dominant per-tile cost in
         # the r3 ablation) — max over j-tiles commutes with max within
         # a tile, so it runs once per ROW tile instead of every tile.
-        acc_scr[:] = jnp.maximum(acc_scr[:], _mask_tile(spec, neighbor, h2))
+        acc_scr[:] = jnp.maximum(acc_scr[:],
+                                 _masked_relu(spec, neighbor, pre2))
 
     @pl.when(j == nj - 1)
     def _():
@@ -370,9 +398,10 @@ def _in_specs(spec: PoolSpec2, ti: int, tj: int):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, r, tipk), lambda b_, i, j, *_: (b_, i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, r, tj), lambda b_, i, j, *_: (b_, 0, j),
+        pl.BlockSpec((1, spec.p, tj), lambda b_, i, j, *_: (b_, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((r, spec.k * pk), lambda b_, i, j, *_: (0, 0),
+        pl.BlockSpec((r, spec.k * pk + spec.p),
+                     lambda b_, i, j, *_: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((r, r), lambda b_, i, j, *_: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -406,7 +435,7 @@ def _forward(spec: PoolSpec2, row_stacked, col_stacked, a2, b2,
     colsI = _cols_i_input(spec, row_stacked, ti)
     colsJ = _cols_j_input(spec, col_stacked)
     aT8 = _pack_rows(spec, a2, ti)
-    bT8 = jnp.repeat(jnp.swapaxes(b2, 1, 2), pk, axis=1)  # [B, R, NC]
+    bT8 = jnp.swapaxes(b2, 1, 2)                        # [B, P, NC]
     wgT8, w2T8, b28 = _kron_weights(spec, wg_k, w2, b2bias)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -499,17 +528,18 @@ def _bwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
     @pl.when(active)
     def _():
         g8, neighbor = _tile_core(spec, ci_scr, colsJ_ref[0], ti, tj)
-        b8 = jnp.tile(bT8_ref[0], (1, tipk))
-        h1, h2 = _pair_mlp(spec, g8, a_scr[:], b8,
-                           wgT8_ref, w2T8_ref, b28_ref)
+        g8b = jnp.concatenate(
+            [g8, jnp.tile(bT8_ref[0], (1, tipk))], axis=0)
+        h1, pre2 = _pair_mlp(spec, g8b, a_scr[:],
+                             wgT8_ref, w2T8_ref, b28_ref)
+        masked = _masked_relu(spec, neighbor, pre2)
         # Win mask: exact equality vs the streamed max (see v1 module
-        # docstring for the tie-divergence note). Mask by neighborship
-        # in the same [P, pk, X] broadcast form as the forward.
-        win = (h2 == m_scr[:])
-        dh2 = jnp.where(win & (h2 > 0.0), dm_scr[:], 0.0)
-        dh2 = _mask_tile(spec, neighbor, dh2)
-        # h2 > 0 above subsumes the dpre2 relu gate (relu' at h2 == 0).
-        dpre2 = dh2
+        # docstring for the tie-divergence note). masked already folds
+        # the neighbor mask and the h2 relu: masked == m > 0 iff this
+        # pair is an eligible winner, and masked > 0 subsumes the dpre2
+        # relu gate (relu' at h2 == 0).
+        dpre2 = jnp.where((masked == m_scr[:]) & (masked > 0.0),
+                          dm_scr[:], 0.0)
         dh1 = jax.lax.dot_general(
             w28_ref[:].astype(mm), dpre2.astype(mm),
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -568,7 +598,7 @@ def _backward(spec: PoolSpec2, residuals, dm):
     colsI = _cols_i_input(spec, row_stacked, ti)
     colsJ = _cols_j_input(spec, col_stacked)
     aT8 = _pack_rows(spec, a2, ti)
-    bT8 = jnp.repeat(jnp.swapaxes(b2, 1, 2), pk, axis=1)
+    bT8 = jnp.swapaxes(b2, 1, 2)                        # [B, P, NC]
     wgT8, w2T8, b28 = _kron_weights(spec, wg_k, w2, b2bias)
     w28 = jnp.kron(w2.astype(jnp.float32), jnp.eye(pk, dtype=jnp.float32))
     m8 = _pack_rows(spec, m, ti)

@@ -65,12 +65,14 @@ def _model_and_data(args):
 
 
 def _chain_time(name, fn, x0, k_iters):
+    # Host readback, not block_until_ready: the latter does not block
+    # through the axon tunnel (BENCHMARKS.md, remote-harness pitfalls).
     x = fn(x0, 0.0)
-    jax.block_until_ready(x)
+    float(jnp.sum(x))
     t0 = time.perf_counter()
     for k in range(k_iters):
         x = fn(x, float(k + 1))
-    jax.block_until_ready(x)
+    float(jnp.sum(x))
     dt = (time.perf_counter() - t0) / k_iters * 1e3
     print(f"{name}: {dt:.2f} ms/iter", flush=True)
     return dt
@@ -144,27 +146,43 @@ def mode_train(args):
     tx = make_optimizer(cfg)
     opt0 = tx.init(state.params)
 
-    def one(carry, _):
-        params, opt_state = carry
-        loss, grads = jax.value_and_grad(
-            lambda p: loss_and_metrics(p, model.apply, arrays, cfg)[0]
-        )(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), opt_state), loss
+    def one(jitter):
+        def step(carry, _):
+            params, opt_state = carry
+            arr = dict(arrays)
+            arr["scores"] = arrays["scores"] + jitter * 1e-7
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_and_metrics(p, model.apply, arr, cfg)[0]
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+        return step
 
-    @partial(jax.jit, static_argnums=2)
-    def steps(params, opt_state, k):
-        (p, o), losses = jax.lax.scan(one, (params, opt_state), None, length=k)
+    @partial(jax.jit, static_argnums=3)
+    def steps(params, opt_state, jitter, k):
+        (p, o), losses = jax.lax.scan(
+            one(jitter), (params, opt_state), None, length=k)
         return p, o, losses
 
+    # The remote stack caches identical (executable, inputs) requests
+    # and block_until_ready does not block through the axon tunnel
+    # (BENCHMARKS.md): every timed call carries a fresh jitter, and the
+    # float(losses[-1]) readback is the completion barrier. Best-of-3
+    # per K, like bench.py.
     totals = {}
+    jit_counter = [0.0]
     for k in (5, 25):
-        _, _, losses = steps(state.params, opt0, k)
-        jax.block_until_ready(losses)            # compile
-        t0 = time.perf_counter()
-        _, _, losses = steps(state.params, opt0, k)
-        l_last = float(losses[-1])
-        totals[k] = time.perf_counter() - t0
+        _, _, losses = steps(state.params, opt0, jit_counter[0], k)
+        float(losses[-1])                        # compile + drain
+        best = None
+        for _ in range(3):
+            jit_counter[0] += 1.0
+            t0 = time.perf_counter()
+            _, _, losses = steps(state.params, opt0, jit_counter[0], k)
+            l_last = float(losses[-1])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        totals[k] = best
         print(f"K={k}: total {totals[k] * 1e3:.1f} ms  "
               f"loss {float(losses[0]):.4f}->{l_last:.4f}", flush=True)
         assert np.isfinite(l_last), "non-finite loss"

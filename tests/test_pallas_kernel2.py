@@ -61,7 +61,7 @@ def test_v2_forward_parity_multiclass(rng):
 
 def test_v2_multiple_tiles_and_pack4(rng):
     """Several tiles exercises the streaming max; pack=4 the non-default
-    sublane packing (explicit tile path in _mask_tile)."""
+    sublane packing (explicit tile path in _masked_relu)."""
     boxes, scores, valid, _ = _problem(rng, b=1, n=96)
     params = _params(rng)
     for pack in (8, 4):
