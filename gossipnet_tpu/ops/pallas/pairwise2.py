@@ -19,13 +19,20 @@ hides in Mosaic relayouts around the dots):
    rows instead of 8-9 planes.
 
 2. ONE 2-D LAYOUT END TO END. All pair tensors are [R, M~] with
-   R = P*pk rows (r = p*pk + s: hidden p major, row-chunk s minor) and
+   R = P*pk rows (r = s*P + p: row-chunk s MAJOR, hidden p minor) and
    M~ = TI*TJ/pk lanes (chunk s covers detections i in
    [s*TI/pk, (s+1)*TI/pk), lane m' = t*TJ + j). pk=8 gives full f32
-   sublane occupancy for the feature VPU math, weights become
-   kron(W, I_pk) so FC2 contracts over P*pk = 256 full MXU rows, and
+   sublane occupancy for the feature VPU math, weights pack to
+   [R, .] block matrices so the dots run on full MXU shapes, and
    the [TI,TJ]->[1,M] feature flattens plus the [P,M]<->[P,TI,TJ]
-   reshapes around the dots disappear. The per-detection b term also
+   reshapes around the dots disappear. s-MAJOR is the key FLOP
+   optimization (r3): the packed FC2 weight W2'[(s,po),(s',pi)] =
+   w2[pi,po]*I[s==s'] is then block-diagonal in contiguous P-row
+   blocks, so its off-diagonal 128x128 MXU quadrants are EXACTLY zero
+   and FC2 runs as R/128 full-shape [128,128]x[128,M~] dots
+   (_blockdiag_dot) — half the executed MACs of the r3-early p-major
+   kron(W2, I_pk) form at the default P=32/pk=8 (the same halving
+   applies to the backward's dh1 and dw2 dots). The per-detection b term also
    rides the FC1 dot (tiled [P, M~] rows stacked under the features
    against a 0/1 selector block in wgT8 — _kron_weights) rather than a
    separate [R, M~] tile + add, and the h2 relu fuses into the
@@ -189,12 +196,12 @@ def _cols_j_input(spec: PoolSpec2, col_stacked: Array) -> Array:
 
 
 def _pack_rows(spec: PoolSpec2, x: Array, ti: int) -> Array:
-    """[B, NR, P] -> [B, NI, R, TI/pk] in the p-major kernel row layout
-    (row p*pk + s, lane t <-> local detection s*TI/pk + t)."""
+    """[B, NR, P] -> [B, NI, R, TI/pk] in the s-MAJOR kernel row layout
+    (row s*P + p, lane t <-> local detection s*TI/pk + t)."""
     b, nr, p = x.shape
     pk = spec.pk
     ni, tipk = nr // ti, ti // pk
-    return (x.reshape(b, ni, pk, tipk, p).transpose(0, 1, 4, 2, 3)
+    return (x.reshape(b, ni, pk, tipk, p).transpose(0, 1, 2, 4, 3)
             .reshape(b, ni, pk * p, tipk))
 
 
@@ -203,38 +210,52 @@ def _unpack_rows(spec: PoolSpec2, y: Array) -> Array:
     b, ni, r, tipk = y.shape
     pk = spec.pk
     p = r // pk
-    return (y.reshape(b, ni, p, pk, tipk).transpose(0, 1, 3, 4, 2)
+    return (y.reshape(b, ni, pk, p, tipk).transpose(0, 1, 2, 4, 3)
             .reshape(b, ni * pk * tipk, p))
 
 
 def _kron_weights(spec: PoolSpec2, wg_k: Array, w2: Array, b2: Array):
-    """kron(W, I_pk) packed weights for the [R, M~] dots (f32).
+    """s-major packed weights for the [R, M~] dots (f32).
 
-    wgT8 carries an extra [R, P] 0/1 selector block (I[p(r) == p'])
-    appended after the K*pk feature columns: contracting it against the
-    tiled b-term rows stacked under g8 adds b on the MXU instead of a
-    separate [R, M~] VPU tile + add (see _pair_mlp)."""
+    wgT8 [R, K*pk + P]: W1[(s,p), (k,s')] = wg[k,p]*I[s==s'] (feature
+    cols stay k-major, matching the g8 concat order), plus an extra
+    [R, P] 0/1 selector block (I[p(r) == p']) appended after the K*pk
+    feature columns: contracting it against the tiled b-term rows
+    stacked under g8 adds b on the MXU instead of a separate [R, M~]
+    VPU tile + add (see _pair_mlp).
+
+    w2T8 [R, R]: W2'[(s,po), (s',pi)] = w2[pi,po]*I[s==s'] — s-major
+    rows AND cols make it block-diagonal in contiguous P-row blocks,
+    the structure _blockdiag_dot exploits."""
     import numpy as np
 
-    eye = jnp.eye(spec.pk, dtype=jnp.float32)
-    wgT8 = jnp.kron(wg_k.T.astype(jnp.float32), eye)    # [R, K*pk]
+    pk, p, r = spec.pk, spec.p, spec.r
+    eye = jnp.eye(pk, dtype=jnp.float32)
+    wgT = wg_k.T.astype(jnp.float32)                    # [P, K]
+    wgT8 = (wgT[None, :, :, None] * eye[:, None, None, :]).reshape(
+        r, wgT.shape[1] * pk)                           # [R, K*pk]
     # Pure-np constant: lowers inline, no device round trip at trace or
     # lowering time (KNOWN_ISSUES #4).
-    b_sel = (np.arange(spec.r)[:, None] // spec.pk
-             == np.arange(spec.p)[None, :]).astype(np.float32)  # [R, P]
+    b_sel = (np.arange(r)[:, None] % p
+             == np.arange(p)[None, :]).astype(np.float32)  # [R, P]
     wgT8 = jnp.concatenate([wgT8, jnp.asarray(b_sel)], axis=1)
-    w2T8 = jnp.kron(w2.T.astype(jnp.float32), eye)      # [R, R]
-    b28 = jnp.repeat(b2.astype(jnp.float32)[:, None], spec.pk,
-                     axis=0).reshape(spec.r, 1)
+    w2f = w2.astype(jnp.float32)
+    w2T8 = (w2f.T[None, :, None, :] * eye[:, None, :, None]).reshape(r, r)
+    b28 = jnp.tile(b2.astype(jnp.float32), pk).reshape(r, 1)
     return wgT8, w2T8, b28
 
 
-def _diag_extract(spec: PoolSpec2, full: Array, cols_per_block: int) -> Array:
-    """[R, K*pk] accumulated kron-layout grad -> [P, K]: the (p, k)
-    entry sums the s-diagonal of each pk x pk block (XLA-side)."""
+def _diag_extract(spec: PoolSpec2, full: Array, cols_per_block: int,
+                  cols_s_major: bool = False) -> Array:
+    """Accumulated packed-layout grad -> per-block diagonal sum
+    (XLA-side). Rows are s-major (s, p). Feature cols (dwg) are
+    k-major (k, s'); h1-space cols (dw2) are s-major (s', pi)."""
     p, pk = spec.p, spec.pk
-    x = full.reshape(p, pk, cols_per_block, pk)
-    return jnp.einsum("psks->pk", x)
+    if cols_s_major:
+        x = full.reshape(pk, p, pk, cols_per_block)
+        return jnp.einsum("spsq->pq", x)
+    x = full.reshape(pk, p, cols_per_block, pk)
+    return jnp.einsum("spks->pk", x)
 
 
 # ---------------------------------------------------------------------------
@@ -301,6 +322,41 @@ def _dot_precision(mm):
             if mm == jnp.dtype(jnp.float32)
             else jax.lax.Precision.DEFAULT)
 
+_QUAD = 128  # MXU quadrant edge
+
+
+def _n_quadrants(spec: PoolSpec2) -> int:
+    """Number of diagonal 128-row quadrants _blockdiag_dot can use, or
+    0 when the structure doesn't align (fallback: one full dot)."""
+    if spec.r % _QUAD == 0 and _QUAD % spec.p == 0:
+        return spec.r // _QUAD
+    return 0
+
+
+def _blockdiag_dot(spec: PoolSpec2, w_ref, x, mm, prec):
+    """w @ x for an s-major block-diagonal [R, R] weight (P-row blocks,
+    see _kron_weights): every off-diagonal 128x128 quadrant is exactly
+    zero, so only the R/128 diagonal quadrants are multiplied — each a
+    full-shape [128,128]x[128,M~] MXU dot. Halves the executed MACs of
+    the FC2/dh1 dots at the default P=32/pk=8 (measured r3)."""
+    nq = _n_quadrants(spec)
+    if nq == 0:
+        return jax.lax.dot_general(
+            w_ref[:].astype(mm), x.astype(mm),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32)
+    parts = [
+        jax.lax.dot_general(
+            w_ref[g * _QUAD:(g + 1) * _QUAD,
+                  g * _QUAD:(g + 1) * _QUAD].astype(mm),
+            x[g * _QUAD:(g + 1) * _QUAD].astype(mm),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32)
+        for g in range(nq)
+    ]
+    return jnp.concatenate(parts, axis=0) if nq > 1 else parts[0]
+
+
 def _pair_mlp(spec: PoolSpec2, g8b, a_scr, wgT8_ref, w2T8_ref, b28_ref):
     """(h1, pre2) [R, M~] from the packed dots.
 
@@ -317,28 +373,24 @@ def _pair_mlp(spec: PoolSpec2, g8b, a_scr, wgT8_ref, w2T8_ref, b28_ref):
         preferred_element_type=jnp.float32,
     )                                                   # [R, M~]
     h1 = jnp.maximum(a_scr + gw, 0.0)
-    pre2 = jax.lax.dot_general(
-        w2T8_ref[:].astype(mm), h1.astype(mm),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=prec,
-        preferred_element_type=jnp.float32,
-    ) + b28_ref[:]
+    pre2 = _blockdiag_dot(spec, w2T8_ref, h1, mm, prec) + b28_ref[:]
     return h1, pre2
 
 
 def _masked_relu(spec: PoolSpec2, neighbor: Array, pre2: Array):
     """h2 = relu(pre2) and the neighbor mask fused into ONE select:
-    max(pre2, 0) * neighbor[pk, M~] broadcast over p (p-major rows) —
+    max(pre2, 0) * neighbor[pk, M~] broadcast over p (s-major rows) —
     non-neighbor or non-positive entries map to 0, the dense path's
     no-neighbor fixup value, so max over masked tiles is exact.
 
-    Uses the free major split [R, X] <-> [P, pk, X] when pk == 8 (rows
-    group exactly into f32 vregs); otherwise tiles explicitly."""
-    if spec.pk == 8:
-        x3 = pre2.reshape(spec.p, spec.pk, pre2.shape[-1])
-        out = jnp.where(neighbor[None] & (x3 > 0.0), x3, 0.0)
+    Uses the free major split [R, X] <-> [pk, P, X] when P % 8 == 0
+    (each s-block is whole f32 vreg rows); otherwise expands
+    explicitly."""
+    if spec.p % 8 == 0:
+        x3 = pre2.reshape(spec.pk, spec.p, pre2.shape[-1])
+        out = jnp.where(neighbor[:, None] & (x3 > 0.0), x3, 0.0)
         return out.reshape(pre2.shape)
-    nb = jnp.tile(neighbor, (spec.p, 1))
+    nb = jnp.repeat(neighbor, spec.p, axis=0)
     return jnp.where(nb & (pre2 > 0.0), pre2, 0.0)
 
 
@@ -540,12 +592,9 @@ def _bwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
         # relu gate (relu' at h2 == 0).
         dpre2 = jnp.where((masked == m_scr[:]) & (masked > 0.0),
                           dm_scr[:], 0.0)
-        dh1 = jax.lax.dot_general(
-            w28_ref[:].astype(mm), dpre2.astype(mm),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=prec,
-            preferred_element_type=jnp.float32,
-        )
+        # w28 is s-major block-diagonal like w2T8 (W2 transposed per
+        # block): only the diagonal MXU quadrants multiply.
+        dh1 = _blockdiag_dot(spec, w28_ref, dpre2, mm, prec)
         dpre1 = jnp.where(h1 > 0.0, dh1, 0.0)           # [R, M~]
 
         accg_scr[:] = accg_scr[:] + dpre1
@@ -570,12 +619,19 @@ def _bwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
             precision=prec,
             preferred_element_type=jnp.float32,
         )                                               # [R, K*pk]
-        dw2_ref[:] = dw2_ref[:] + jax.lax.dot_general(
-            dpre2.astype(mm), h1.astype(mm),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=prec,
-            preferred_element_type=jnp.float32,
-        )                                               # [R(out), R(in)]
+        # dw2_full only needs its diagonal quadrants (_diag_extract
+        # reads s == s' entries only; off-diagonal quadrants stay at
+        # their zero init) — same halving as the forward FC2.
+        nq = _n_quadrants(spec)
+        for g in range(nq if nq else 1):
+            sl = (slice(g * _QUAD, (g + 1) * _QUAD)
+                  if nq else slice(None))
+            dw2_ref[sl, sl] = dw2_ref[sl, sl] + jax.lax.dot_general(
+                dpre2[sl].astype(mm), h1[sl].astype(mm),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )                                           # [R(out), R(in)]
         db2_ref[:] = db2_ref[:] + jnp.sum(dpre2, axis=1, keepdims=True)
 
     @pl.when(j == nj - 1)
@@ -600,12 +656,16 @@ def _backward(spec: PoolSpec2, residuals, dm):
     aT8 = _pack_rows(spec, a2, ti)
     bT8 = jnp.swapaxes(b2, 1, 2)                        # [B, P, NC]
     wgT8, w2T8, b28 = _kron_weights(spec, wg_k, w2, b2bias)
-    w28 = jnp.kron(w2.astype(jnp.float32), jnp.eye(pk, dtype=jnp.float32))
+    # dh1 weight, s-major rows (s, p_in) / cols (s', p_out):
+    # block-diagonal like w2T8 (_blockdiag_dot).
+    eye = jnp.eye(pk, dtype=jnp.float32)
+    w2f = w2.astype(jnp.float32)
+    w28 = (w2f[None, :, None, :] * eye[:, None, :, None]).reshape(r, r)
     m8 = _pack_rows(spec, m, ti)
     dm8 = _pack_rows(spec, dm, ti)
 
     # 0/1 selector constants for the db reduction matmuls (kernel doc).
-    sel = (jnp.arange(r)[None, :] // pk
+    sel = (jnp.arange(r)[None, :] % p
            == jnp.arange(p)[:, None]).astype(jnp.float32)    # [P, R]
     t_sel = (jnp.arange(mt)[:, None] % tj
              == jnp.arange(tj)[None, :]).astype(jnp.float32)  # [M~, TJ]
@@ -669,10 +729,11 @@ def _backward(spec: PoolSpec2, residuals, dm):
     da2 = _unpack_rows(spec, da8)                       # [B, NR, P]
     db2_grad = jnp.swapaxes(db_t, 1, 2)                 # [B, NC, P]
     dwg_k = _diag_extract(spec, dwg_full, spec.k).T     # [K, P]
-    # dw2_full rows are pre2-space (p_out), cols h1-space (p_in);
-    # diag-extract -> [P_out, P_in]; the primal w2 is [P_in, P_out].
-    dw2 = _diag_extract(spec, dw2_full, p).T
-    db2b = jnp.sum(db2_full.reshape(p, pk), axis=1)
+    # dw2_full rows are pre2-space (s, p_out), cols h1-space
+    # (s', p_in); diag-extract -> [P_out, P_in]; the primal w2 is
+    # [P_in, P_out].
+    dw2 = _diag_extract(spec, dw2_full, p, cols_s_major=True).T
+    db2b = jnp.sum(db2_full.reshape(pk, p), axis=0)
     return (jnp.zeros_like(row_stacked), jnp.zeros_like(col_stacked),
             da2, db2_grad, dwg_k, dw2, db2b)
 

@@ -32,16 +32,26 @@ import jax.numpy as jnp
 from gossipnet_tpu.utils.cache import enable_compilation_cache
 
 
+def _impl(args):
+    """'pallas1'/'pallas2' select the kernel version explicitly;
+    plain 'pallas' uses the config default. Returns (pool_impl, kernel)."""
+    if args.impl in ("pallas1", "pallas2"):
+        return "pallas", int(args.impl[-1])
+    return args.impl, None
+
+
 def _model_and_data(args):
     from gossipnet_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
     from gossipnet_tpu.data.bucketing import BatchIterator
     from gossipnet_tpu.data.synthetic import crowd_roidb, layout_batch, synthetic_roidb
     from gossipnet_tpu.train import build_model, batch_to_device
 
+    pool_impl, kernel = _impl(args)
+    kernel_kw = {} if kernel is None else {"pair_kernel": kernel}
     cfg = Config(
         model=ModelConfig(num_blocks=args.blocks, feature_dim=128,
                           reduced_dim=32, pairwise_dim=32,
-                          pair_matmul_dtype=args.dtype),
+                          pair_matmul_dtype=args.dtype, **kernel_kw),
         train=TrainConfig(batch_size=args.batch),
         data=DataConfig(bucket_sizes=(args.n,)),
     )
@@ -60,7 +70,7 @@ def _model_and_data(args):
         batch = next(BatchIterator(roidb, args.batch, (args.n,), seed=0))
         arrays = batch_to_device(batch)
         arrays["_batch"] = batch
-    model = build_model(cfg, pool_impl=args.impl)
+    model = build_model(cfg, pool_impl=pool_impl)
     return cfg, model, arrays
 
 
@@ -234,11 +244,13 @@ def mode_parity(args):
                      batch=args.batch, n=args.n, seed=3)
     boxes, scores, valid = (jnp.asarray(d.boxes), jnp.asarray(d.scores),
                             jnp.asarray(d.valid))
+    pool_impl, kernel = _impl(args)
+    kernel_kw = {} if kernel is None else {"pair_kernel": kernel}
     mc = ModelConfig(num_blocks=min(args.blocks, 2), feature_dim=64,
                      reduced_dim=32, pairwise_dim=32,
-                     pair_matmul_dtype="float32")
+                     pair_matmul_dtype="float32", **kernel_kw)
     dense = GossipNet(mc, pool_impl="dense")
-    pallas = GossipNet(mc, pool_impl=args.impl)
+    pallas = GossipNet(mc, pool_impl=pool_impl)
     params = dense.init(jax.random.key(0), boxes, scores, valid)["params"]
     out_d = jax.jit(dense.apply)({"params": params}, boxes, scores, valid)
     out_p = jax.jit(pallas.apply)({"params": params}, boxes, scores, valid)
@@ -311,7 +323,8 @@ def main(argv=None):
     p.add_argument("--blocks", type=int, default=16)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--impl", default="pallas",
-                   help="pool impl: pallas | pallas2 | dense")
+                   help="pool impl: pallas (config-default kernel) | "
+                        "pallas1 | pallas2 | dense")
     p.add_argument("--layout", default="bucketed",
                    help="bucketed | clustered | uniform | mixed | blob")
     p.add_argument("--dtype", default="bfloat16",
