@@ -57,6 +57,15 @@ class ModelConfig:
     # feature folding (ops/pallas/pairwise2.py, r3 — measured faster);
     # 1 = the r1/r2 [P, TI, TJ] streaming kernel (kept as oracle).
     pair_kernel: int = 2
+    # Elementwise dtype of the v2 kernel's streamed pair tensors
+    # (h1/pre2/masked-relu/running-max). 'bfloat16' was the r2 roadmap's
+    # 2x-VPU-lanes candidate, re-tested on the v2 layout and MEASURED
+    # SLOWER (~7-11%, BENCHMARKS.md): Mosaic requires 32-bit matmul
+    # accumulators, so each dot still emits f32 and the bf16 stream
+    # pays a packing relayout per dot output. Kept as the documented
+    # negative result; default float32. Requires
+    # pair_matmul_dtype='bfloat16'; v1 kernel ignores it.
+    pair_elementwise_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -224,6 +233,17 @@ def validate_config(cfg: Config) -> None:
                 f"matching.thresholds must be in (0, 1], got {t!r} in "
                 f"{tuple(cfg.matching.thresholds)}"
             )
+    ew = cfg.model.pair_elementwise_dtype
+    if ew not in ("float32", "bfloat16"):
+        raise ValueError(f"pair_elementwise_dtype must be float32 or "
+                         f"bfloat16, got {ew!r}")
+    if ew == "bfloat16" and cfg.model.pair_matmul_dtype != "bfloat16":
+        raise ValueError(
+            "pair_elementwise_dtype=bfloat16 requires "
+            "pair_matmul_dtype=bfloat16 (the pair dots must produce the "
+            "bf16 streamed tensors directly; a bf16 elementwise stage "
+            "under f32 dots would silently discard the f32 precision "
+            "the config asked for)")
 
 
 def config_to_dict(cfg: Config) -> dict:

@@ -245,10 +245,12 @@ class GossipNet(nn.Module):
 
             pool_inputs = {"g": g, "mask": mask}
         elif self.pool_impl == "pallas":
+            kernel_kw = {}
             if cfg.pair_kernel == 2:
                 from gossipnet_tpu.ops.pallas.pairwise2 import (
                     pallas_pair_pool_v2 as pallas_pair_pool,
                 )
+                kernel_kw["elementwise_dtype"] = cfg.pair_elementwise_dtype
             else:
                 from gossipnet_tpu.ops.pallas.pairwise import (
                     pallas_pair_pool,
@@ -264,6 +266,7 @@ class GossipNet(nn.Module):
                     compute_dtype=cfg.pair_matmul_dtype,
                     block_sparse=cfg.block_sparse,
                     tile_i=cfg.pair_tile_i, tile_j=cfg.pair_tile_j,
+                    **kernel_kw,
                 )
 
             pool_inputs = {

@@ -106,6 +106,13 @@ class PoolSpec2:
     interpret: bool
     compute_dtype: str = "bfloat16"
     block_sparse: bool = True
+    # Streamed-tensor elementwise dtype (h1 / pre2 / masked-relu /
+    # running-max + their VMEM scratches). bf16 halves the per-tile VPU
+    # elementwise cost; requires bf16 dots (wrapper-validated). Grad
+    # accumulation stays f32; the backward recomputes the forward's
+    # elementwise path in the SAME dtype so the max-winner equality
+    # stays exact (bf16 -> f32 casts are value-preserving).
+    elementwise_dtype: str = "float32"
 
     @property
     def r(self) -> int:
@@ -333,7 +340,8 @@ def _n_quadrants(spec: PoolSpec2) -> int:
     return 0
 
 
-def _blockdiag_dot(spec: PoolSpec2, w_ref, x, mm, prec):
+def _blockdiag_dot(spec: PoolSpec2, w_ref, x, mm, prec,
+                   out_dtype=jnp.float32):
     """w @ x for an s-major block-diagonal [R, R] weight (P-row blocks,
     see _kron_weights): every off-diagonal 128x128 quadrant is exactly
     zero, so only the R/128 diagonal quadrants are multiplied — each a
@@ -344,27 +352,34 @@ def _blockdiag_dot(spec: PoolSpec2, w_ref, x, mm, prec):
         return jax.lax.dot_general(
             w_ref[:].astype(mm), x.astype(mm),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=prec, preferred_element_type=jnp.float32)
+            precision=prec, preferred_element_type=out_dtype)
     parts = [
         jax.lax.dot_general(
             w_ref[g * _QUAD:(g + 1) * _QUAD,
                   g * _QUAD:(g + 1) * _QUAD].astype(mm),
             x[g * _QUAD:(g + 1) * _QUAD].astype(mm),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=prec, preferred_element_type=jnp.float32)
+            precision=prec, preferred_element_type=out_dtype)
         for g in range(nq)
     ]
     return jnp.concatenate(parts, axis=0) if nq > 1 else parts[0]
 
 
 def _pair_mlp(spec: PoolSpec2, g8b, a_scr, wgT8_ref, w2T8_ref, b28_ref):
-    """(h1, pre2) [R, M~] from the packed dots.
+    """(h1, pre2) [R, M~] from the packed dots, in the elementwise
+    dtype. Mosaic requires 32-bit matmul accumulators (bf16
+    preferred_element_type is rejected — 'matmul acc must be 32-bit',
+    measured on chip), so the dots emit f32 and the cast to ew happens
+    right after; the casts pay for themselves because every later
+    elementwise op (h1 relu, +b28, masked-relu, running max) then runs
+    at 2x VPU lanes, and h1's FC2-input cast was needed anyway.
 
     g8b is the pair features STACKED WITH the tiled b-term rows
     ([K*pk + P, M~]); wgT8_ref carries the matching 0/1 selector block
     so the b contribution rides the FC1 MXU dot instead of a separate
     [R, M~] tile + add on the VPU (~0.5 us/tile, measured r3)."""
     mm = jnp.dtype(spec.compute_dtype)
+    ew = jnp.dtype(spec.elementwise_dtype)
     prec = _dot_precision(mm)
     gw = jax.lax.dot_general(
         wgT8_ref[:].astype(mm), g8b.astype(mm),
@@ -372,8 +387,9 @@ def _pair_mlp(spec: PoolSpec2, g8b, a_scr, wgT8_ref, w2T8_ref, b28_ref):
         precision=prec,
         preferred_element_type=jnp.float32,
     )                                                   # [R, M~]
-    h1 = jnp.maximum(a_scr + gw, 0.0)
-    pre2 = _blockdiag_dot(spec, w2T8_ref, h1, mm, prec) + b28_ref[:]
+    h1 = jnp.maximum(a_scr + gw.astype(ew), 0.0)
+    pre2 = (_blockdiag_dot(spec, w2T8_ref, h1, mm, prec).astype(ew)
+            + b28_ref[:].astype(ew))
     return h1, pre2
 
 
@@ -386,6 +402,17 @@ def _masked_relu(spec: PoolSpec2, neighbor: Array, pre2: Array):
     Uses the free major split [R, X] <-> [pk, P, X] when P % 8 == 0
     (each s-block is whole f32 vreg rows); otherwise expands
     explicitly."""
+    if pre2.dtype == jnp.bfloat16:
+        # Mosaic rejects the 3-D i1 select under 16-bit values (invalid
+        # replicated-dim relayout for vector<pk x p x M~ xi1>, measured
+        # on chip); arithmetic masking — relu then multiply by the 0/1
+        # neighbor — avoids the boolean broadcast entirely and is
+        # value-exact (x*1 == x, x*0 == 0 for finite bf16).
+        nbf = neighbor.astype(pre2.dtype)
+        if spec.p % 8 == 0:
+            x3 = pre2.reshape(spec.pk, spec.p, pre2.shape[-1])
+            return (jnp.maximum(x3, 0) * nbf[:, None]).reshape(pre2.shape)
+        return jnp.maximum(pre2, 0) * jnp.repeat(nbf, spec.p, axis=0)
     if spec.p % 8 == 0:
         x3 = pre2.reshape(spec.pk, spec.p, pre2.shape[-1])
         out = jnp.where(neighbor[:, None] & (x3 > 0.0), x3, 0.0)
@@ -410,8 +437,8 @@ def _fwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
 
     @pl.when(j == 0)
     def _():
-        acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
-        a_scr[:] = _lane_expand(aT8_ref[0, 0], tj)
+        acc_scr[:] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
+        a_scr[:] = _lane_expand(aT8_ref[0, 0], tj).astype(a_scr.dtype)
         for c in range(spec.ci):
             ci_scr[c] = _lane_expand(colsI_ref[0, 0, c], tj)
 
@@ -436,7 +463,8 @@ def _fwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
     @pl.when(j == nj - 1)
     def _():
         out_ref[0, 0] = jnp.max(
-            acc_scr[:].reshape(spec.r, tipk, tj), axis=2)
+            acc_scr[:].reshape(spec.r, tipk, tj), axis=2,
+        ).astype(jnp.float32)
 
 
 def _in_specs(spec: PoolSpec2, ti: int, tj: int):
@@ -498,9 +526,10 @@ def _forward(spec: PoolSpec2, row_stacked, col_stacked, a2, b2,
                                lambda b_, i, j, *_: (b_, i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((r, mt), jnp.float32),
+            pltpu.VMEM((r, mt), jnp.dtype(spec.elementwise_dtype)),
             pltpu.VMEM((spec.ci, pk, mt), jnp.float32),
-            pltpu.VMEM((r, mt), jnp.float32),   # running-max accumulator
+            # running-max accumulator
+            pltpu.VMEM((r, mt), jnp.dtype(spec.elementwise_dtype)),
         ],
     )
     return pl.pallas_call(
@@ -561,7 +590,7 @@ def _bwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
     @pl.when(j == 0)
     def _():
         accg_scr[:] = jnp.zeros(accg_scr.shape, jnp.float32)
-        a_scr[:] = _lane_expand(aT8_ref[0, 0], tj)
+        a_scr[:] = _lane_expand(aT8_ref[0, 0], tj).astype(a_scr.dtype)
         m_scr[:] = _lane_expand(m_ref[0, 0], tj)
         dm_scr[:] = _lane_expand(dm_ref[0, 0], tj)
         for c in range(spec.ci):
@@ -584,12 +613,14 @@ def _bwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
             [g8, jnp.tile(bT8_ref[0], (1, tipk))], axis=0)
         h1, pre2 = _pair_mlp(spec, g8b, a_scr[:],
                              wgT8_ref, w2T8_ref, b28_ref)
-        masked = _masked_relu(spec, neighbor, pre2)
         # Win mask: exact equality vs the streamed max (see v1 module
         # docstring for the tie-divergence note). masked already folds
         # the neighbor mask and the h2 relu: masked == m > 0 iff this
         # pair is an eligible winner, and masked > 0 subsumes the dpre2
-        # relu gate (relu' at h2 == 0).
+        # relu gate (relu' at h2 == 0). The f32 cast is exact for bf16,
+        # so the equality matches the forward regardless of
+        # elementwise_dtype (m is stored f32).
+        masked = _masked_relu(spec, neighbor, pre2).astype(jnp.float32)
         dpre2 = jnp.where((masked == m_scr[:]) & (masked > 0.0),
                           dm_scr[:], 0.0)
         # w28 is s-major block-diagonal like w2T8 (W2 transposed per
@@ -709,7 +740,7 @@ def _backward(spec: PoolSpec2, residuals, dm):
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((r, mt), jnp.float32),
+                pltpu.VMEM((r, mt), jnp.dtype(spec.elementwise_dtype)),
                 pltpu.VMEM((spec.ci, pk, mt), jnp.float32),
                 pltpu.VMEM((r, mt), jnp.float32),
                 pltpu.VMEM((r, mt), jnp.float32),
@@ -789,6 +820,7 @@ def pallas_pair_pool_rect_v2(
     tile_j: int | None = None,
     pack: int = 8,
     bwd_tile_i: int | None = None,
+    elementwise_dtype: str = "float32",
 ) -> Array:
     """Rectangular v2 streaming pair stage -> m [B, NR, P].
 
@@ -800,6 +832,11 @@ def pallas_pair_pool_rect_v2(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if (elementwise_dtype == "bfloat16"
+            and compute_dtype != "bfloat16"):
+        raise ValueError(
+            "elementwise_dtype=bfloat16 requires compute_dtype=bfloat16 "
+            "(config.validate_config enforces the same)")
     multiclass = row_classes is not None
     bsz, c, nr = row_cols.shape
     nc = col_cols.shape[2]
@@ -843,7 +880,7 @@ def pallas_pair_pool_rect_v2(
         neighbor_iou=float(neighbor_iou), multiclass=multiclass,
         p=p, pk=pk, ti=ti, tj=tj, ti_b=ti_b, tj_b=tj,
         interpret=bool(interpret), compute_dtype=compute_dtype,
-        block_sparse=block_sparse,
+        block_sparse=block_sparse, elementwise_dtype=elementwise_dtype,
     )
     m = _pair_pool2_p(
         spec, row_cols.astype(jnp.float32), col_cols.astype(jnp.float32),

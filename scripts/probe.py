@@ -51,7 +51,9 @@ def _model_and_data(args):
     cfg = Config(
         model=ModelConfig(num_blocks=args.blocks, feature_dim=128,
                           reduced_dim=32, pairwise_dim=32,
-                          pair_matmul_dtype=args.dtype, **kernel_kw),
+                          pair_matmul_dtype=args.dtype,
+                          pair_elementwise_dtype=args.ew_dtype,
+                          **kernel_kw),
         train=TrainConfig(batch_size=args.batch),
         data=DataConfig(bucket_sizes=(args.n,)),
     )
@@ -329,6 +331,8 @@ def main(argv=None):
                    help="bucketed | clustered | uniform | mixed | blob")
     p.add_argument("--dtype", default="bfloat16",
                    help="pair_matmul_dtype: bfloat16 | float32")
+    p.add_argument("--ew-dtype", default="float32",
+                   help="pair_elementwise_dtype: float32 | bfloat16")
     args = p.parse_args(argv)
     enable_compilation_cache()
     globals()[f"mode_{args.mode}"](args)

@@ -194,3 +194,79 @@ def test_v2_model_forward_matches_dense(rng):
     out_p = pallas.apply({"params": params}, boxes, scores, valid)
     np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_p),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_v2_bf16_elementwise_parity(rng):
+    """bf16 streamed-tensor path (pair_elementwise_dtype) vs the f32
+    dense oracle: bf16-level tolerance on the forward, and finite grads
+    within bf16 tolerance of the f32-elementwise kernel (the win-mask
+    equality must survive the dtype change — a broken equality zeroes
+    grads, which this would catch)."""
+    boxes, scores, valid, _ = _problem(rng, b=2, n=64)
+    params = _params(rng)
+    cols = pf.det_columns(boxes, scores, valid)
+    cs = pf.stack_columns(cols)
+    r = jnp.asarray(np.random.default_rng(5).normal(
+        0, 1, (2, 64, P)).astype(np.float32))
+    a, bb = r @ params.wa + params.b1, r @ params.wb
+    g, mask = pf.dense_pair_tensor(cols, NEIGHBOR_IOU)
+    dense = pair_pool_dense(a, bb, params.wg, params.w2, params.b2, g, mask)
+
+    def pool(ew):
+        return pallas_pair_pool_v2(
+            cs, a, bb, params, NEIGHBOR_IOU, interpret=True,
+            compute_dtype="bfloat16", elementwise_dtype=ew)
+
+    out_bf = pool("bfloat16")
+    assert out_bf.dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(dense))) + 1e-9
+    rel = float(jnp.max(jnp.abs(out_bf - dense))) / scale
+    assert rel < 3e-2, f"bf16-ew forward rel err {rel:.3e}"
+
+    def loss(prm, ew):
+        m = pallas_pair_pool_v2(cs, a, bb, prm, NEIGHBOR_IOU,
+                                interpret=True, compute_dtype="bfloat16",
+                                elementwise_dtype=ew)
+        return jnp.sum(jnp.sin(m * 0.7))
+
+    g32 = jax.grad(loss)(params, "float32")
+    gbf = jax.grad(loss)(params, "bfloat16")
+    # bf16 rounding can legitimately FLIP individual max winners (ties
+    # resolve differently at coarser precision), moving grad mass
+    # between entries — so compare in aggregate, not elementwise. The
+    # regression this must catch is a broken win-mask equality, which
+    # zeroes the kernel-side grads entirely.
+    for f in g32._fields:
+        x, y = np.asarray(getattr(g32, f)), np.asarray(getattr(gbf, f))
+        assert np.isfinite(y).all(), f
+        nx = np.linalg.norm(x)
+        rel = np.linalg.norm(x - y) / (nx + 1e-9)
+        assert rel < 0.15, f"{f}: grad L2 rel err {rel:.3e}"
+        if nx > 1e-3:
+            assert np.linalg.norm(y) > 0.1 * nx, f"{f}: grads collapsed"
+
+
+def test_v2_bf16_elementwise_requires_bf16_dots(rng):
+    """f32 dots + bf16 elementwise is refused (would silently discard
+    the f32 precision the config asked for); config load enforces the
+    same combination."""
+    import pytest
+
+    from gossipnet_tpu.config import Config, ModelConfig, validate_config
+
+    boxes, scores, valid, _ = _problem(rng, b=1, n=16)
+    params = _params(rng)
+    cols = pf.det_columns(boxes, scores, valid)
+    cs = pf.stack_columns(cols)
+    a = jnp.zeros((1, 16, P)); bb = jnp.zeros((1, 16, P))
+    with pytest.raises(ValueError, match="bfloat16"):
+        pallas_pair_pool_v2(cs, a, bb, params, NEIGHBOR_IOU,
+                            interpret=True, compute_dtype="float32",
+                            elementwise_dtype="bfloat16")
+    with pytest.raises(ValueError, match="bfloat16"):
+        validate_config(Config(model=ModelConfig(
+            pair_matmul_dtype="float32",
+            pair_elementwise_dtype="bfloat16")))
+    with pytest.raises(ValueError, match="pair_elementwise_dtype"):
+        validate_config(Config(model=ModelConfig(
+            pair_elementwise_dtype="float16")))
