@@ -243,6 +243,32 @@ class Rescorer:
         if pending is not None:
             yield from emit(pending)
 
+    def rescore_async(
+        self, images: Sequence[tuple], padded_n: int | None = None,
+        truncate: bool = False,
+    ) -> "AsyncBatch":
+        """Dispatch ONE batch (all images must share a shape bucket)
+        without blocking for the result.
+
+        JAX dispatch is asynchronous: this returns as soon as the padded
+        batch is enqueued on the device, so a serving pipeline can keep
+        packing/dispatching batch k+1 while batch k computes and a
+        separate consumer blocks on :meth:`AsyncBatch.wait`. This is the
+        building block scripts/serve.py's pipelined TCP server uses.
+
+        ``padded_n``: the shape bucket to pad to (default: smallest
+        configured bucket that fits the largest image in the batch).
+        """
+        for idx, (_, scores, classes) in enumerate(images):
+            self._check_image(idx, scores, classes, truncate)
+        if padded_n is None:
+            padded_n = bucket_for(max(len(sc) for _, sc, _ in images),
+                                  self.cfg.data.bucket_sizes)
+        group = [(i,) + tuple(img) for i, img in enumerate(images)]
+        out, b = self._dispatch(*self._pack(group, padded_n))
+        metas = [(len(sc), min(len(sc), padded_n)) for _, sc, _ in images]
+        return AsyncBatch(out, b, metas)
+
     def rescore_batch(
         self, images: Sequence[tuple], batch_size: int = 8,
         truncate: bool = False,
@@ -279,3 +305,28 @@ class Rescorer:
                     res[:kept] = new_scores[row, :kept]
                     out[idx] = res
         return out  # type: ignore[return-value]
+
+
+class AsyncBatch:
+    """Handle for one in-flight :meth:`Rescorer.rescore_async` batch.
+
+    ``wait()`` blocks on the device result (the only synchronizing
+    operation on this serving path — a host readback, which also blocks
+    correctly through remote-PJRT tunnels where ``block_until_ready``
+    does not; BENCHMARKS.md methodology notes) and returns per-image
+    new-score arrays aligned with the dispatched image order.
+    """
+
+    def __init__(self, device_out, row_count: int, metas):
+        self._out = device_out
+        self._b = row_count
+        self._metas = metas
+
+    def wait(self) -> list[np.ndarray]:
+        host = np.asarray(self._out)[: self._b]
+        results = []
+        for row, (n, kept) in enumerate(self._metas):
+            res = np.zeros(n, np.float32)
+            res[:kept] = host[row, :kept]
+            results.append(res)
+        return results
