@@ -288,14 +288,24 @@ def train(
         """Train every queued batch as single steps (deterministic order)
         so the iterator state always matches the trained stream — run
         before every checkpoint save and at max_steps (no tail-drop)."""
+        nonlocal host_step
         for key in sorted(queues):
             for b in queues[key]:
                 state, _ = one_step(state, b)
+                host_step += 1
             queues[key] = []
         return state
 
+    # The step counter is tracked HOST-SIDE (every one_step call advances
+    # exactly one step): reading int(state.step) after each group is a
+    # device->host sync that through a remote-PJRT tunnel costs a full
+    # RPC round trip (~25-30 ms, BENCHMARKS.md methodology) and stalls
+    # the async-dispatch pipeline between device calls. Checkpoint saves
+    # still read the authoritative device value (they synchronize anyway).
+    host_step = int(state.step)
+
     def planned_steps() -> int:
-        return int(state.step) + sum(len(v) for v in queues.values())
+        return host_step + sum(len(v) for v in queues.values())
 
     while planned_steps() < max_steps:
         batch = next(it)
@@ -306,7 +316,8 @@ def train(
             continue
         queues[key] = []
         state, metrics = run_group(state, group)
-        step = int(state.step)
+        host_step += len(group)
+        step = host_step
         for b in group:
             timer.tick(int(np.sum(b.valid)))
         profiler.step(step)
