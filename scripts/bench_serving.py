@@ -107,48 +107,48 @@ spec = importlib.util.spec_from_file_location(
 serve_mod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(serve_mod)
 
-server = serve_mod.TcpServer(rescorer, port=0, threshold=0.5,
-                             batch_size=8, window_ms=10.0).start()
-lat_tcp, lock = [], threading.Lock()
-N_CLIENTS, PER_CLIENT = 4, 48
+for n_clients in (4, 16):
+    server = serve_mod.TcpServer(rescorer, port=0, threshold=0.5,
+                                 batch_size=8, window_ms=10.0).start()
+    lat_tcp, lock = [], threading.Lock()
+    per_client = 48
 
+    def tcp_client(cid):
+        rng_c = np.random.default_rng(100 + cid)
+        with socket.create_connection(("127.0.0.1", server.port)) as s:
+            f = s.makefile("r")
+            lats = []
+            for k in range(per_client):
+                bx, sc, _ = images[int(rng_c.integers(0, len(images)))]
+                req = json.dumps({"id": k, "boxes": bx.tolist(),
+                                  "scores": sc.tolist()}) + "\n"
+                t0 = time.perf_counter()
+                s.sendall(req.encode())
+                json.loads(f.readline())
+                lats.append(time.perf_counter() - t0)
+        with lock:
+            lat_tcp.extend(lats)
 
-def tcp_client(cid):
-    rng_c = np.random.default_rng(100 + cid)
-    with socket.create_connection(("127.0.0.1", server.port)) as s:
-        f = s.makefile("r")
-        lats = []
-        for k in range(PER_CLIENT):
-            bx, sc, _ = images[int(rng_c.integers(0, len(images)))]
-            req = json.dumps({"id": k, "boxes": bx.tolist(),
-                              "scores": sc.tolist()}) + "\n"
-            t0 = time.perf_counter()
-            s.sendall(req.encode())
-            json.loads(f.readline())
-            lats.append(time.perf_counter() - t0)
-    with lock:
-        lat_tcp.extend(lats)
-
-
-t0 = time.perf_counter()
-threads = [threading.Thread(target=tcp_client, args=(c,))
-           for c in range(N_CLIENTS)]
-for t in threads:
-    t.start()
-for t in threads:
-    t.join()
-wall = time.perf_counter() - t0
-served = server.stats["images"]
-batches = server.stats["batches"]
-server.stop()
-print(json.dumps({
-    "metric": "pipelined TCP server, 4 concurrent clients (ms)",
-    "requests": N_CLIENTS * PER_CLIENT,
-    "tcp_p50": pct(lat_tcp, 50), "tcp_p99": pct(lat_tcp, 99),
-    "images_per_sec": round(served / wall, 1),
-    "mean_batch": round(served / max(batches, 1), 2),
-    "note": "request->response round trip per client over localhost; "
-            "clients are synchronous (1 in flight each), so batching "
-            "comes from cross-client coalescing",
-}), flush=True)
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=tcp_client, args=(c,))
+               for c in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    served = server.stats["images"]
+    batches = server.stats["batches"]
+    server.stop()
+    print(json.dumps({
+        "metric": f"pipelined TCP server, {n_clients} concurrent "
+                  "clients (ms)",
+        "requests": n_clients * per_client,
+        "tcp_p50": pct(lat_tcp, 50), "tcp_p99": pct(lat_tcp, 99),
+        "images_per_sec": round(served / wall, 1),
+        "mean_batch": round(served / max(batches, 1), 2),
+        "note": "request->response round trip per client over localhost; "
+                "clients are synchronous (1 in flight each), so batching "
+                "comes from cross-client coalescing",
+    }), flush=True)
 print("DONE", flush=True)

@@ -300,6 +300,70 @@ def test_tcp_server_batches_interleaved_buckets():
         server.stop()
 
 
+def test_tcp_server_busy_aware_batching():
+    """While every device slot is busy, open groups must keep absorbing
+    arrivals instead of dispatching singleton batches (r3: with the
+    deadline-only policy, 4 concurrent clients measured mean batch 1.01
+    and p50 = 4x device service time on TPU because every ~10 ms window
+    expired long before the ~35 ms in-flight batch completed).
+
+    A wrapper makes each batch take ~100 ms of 'device' time; 12
+    requests sent during the first batch's service must then coalesce
+    into a few batches even with a 1 ms window."""
+    import json as _json
+    import socket
+    import time as _time
+
+    serve_mod, rescorer = _tcp_fixture(bucket_sizes=(32,))
+
+    class SlowBatch:
+        def __init__(self, handle, delay):
+            self._handle, self._delay = handle, delay
+
+        def wait(self):
+            _time.sleep(self._delay)
+            return self._handle.wait()
+
+    class SlowRescorer:
+        """Delegates to the real rescorer; wait() gains a fixed delay."""
+
+        def __init__(self, inner, delay):
+            self._inner, self._delay = inner, delay
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def rescore_async(self, images, padded_n=None, truncate=False):
+            h = self._inner.rescore_async(images, padded_n=padded_n,
+                                          truncate=truncate)
+            return SlowBatch(h, self._delay)
+
+    server = serve_mod.TcpServer(
+        SlowRescorer(rescorer, 0.1), port=0, threshold=0.0,
+        batch_size=8, window_ms=1.0, pipeline_depth=1).start()
+    rng = np.random.default_rng(3)
+    try:
+        with socket.create_connection(("127.0.0.1", server.port)) as s:
+            f = s.makefile("r")
+            for k in range(12):
+                s.sendall((_json.dumps(
+                    _req(rng, int(rng.integers(3, 12)), k)) + "\n")
+                    .encode())
+            got = {}
+            for _ in range(12):
+                resp = _json.loads(f.readline())
+                assert "error" not in resp, resp
+                got[resp["id"]] = resp
+        assert len(got) == 12
+        # Deadline-only policy: 12 singleton batches. Busy-aware: the
+        # first 1-2 dispatch small, the rest coalesce under the busy
+        # slot into batch_size groups.
+        assert server.stats["batches"] <= 5, server.stats
+        assert server.stats["images"] == 12
+    finally:
+        server.stop()
+
+
 def test_tcp_server_survives_bad_requests():
     """Unservable requests (oversized, length mismatch, bad JSON) get an
     error reply on the same connection and MUST NOT kill the pipeline:
