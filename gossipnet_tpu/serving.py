@@ -362,6 +362,9 @@ class TcpServer:
             t = threading.Thread(target=self._client_loop, args=(client,),
                                  daemon=True)
             t.start()
+            # Prune finished client threads so a long-running server's
+            # bookkeeping stays bounded by live connections.
+            self._threads = [x for x in self._threads if x.is_alive()]
             self._threads.append(t)
 
     # -- lifecycle --
