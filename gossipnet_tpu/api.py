@@ -112,11 +112,7 @@ class Rescorer:
         serving latency p99 becomes compile time (measured: 6.5 s p99
         on a 96-request mixed stream vs ~40 ms steady state)."""
         b = scores_a.shape[0]
-        b_pad = 1 << max(b - 1, 0).bit_length()         # next pow2 >= b
-        if self.mesh is not None:
-            # Batch rows must also tile the 'data' mesh axis.
-            n_data = self.mesh.shape["data"]
-            b_pad = -(-b_pad // n_data) * n_data
+        b_pad = self._pad_batch(b)
         if b_pad != b:
             pad = ((0, b_pad - b),)
             boxes_a = np.pad(boxes_a, pad + ((0, 0), (0, 0)))
@@ -137,6 +133,17 @@ class Rescorer:
             "boxes": jnp.asarray(boxes_a), "scores": jnp.asarray(scores_a),
             "valid": jnp.asarray(valid_a), "classes": jnp.asarray(classes_a),
         }), b
+
+    def _pad_batch(self, b: int) -> int:
+        """The padded batch size a b-image group dispatches at (next
+        power of two; see _dispatch). Overridden by ArtifactRescorer,
+        whose shape set is fixed at export time."""
+        b_pad = 1 << max(b - 1, 0).bit_length()         # next pow2 >= b
+        if self.mesh is not None:
+            # Batch rows must also tile the 'data' mesh axis.
+            n_data = self.mesh.shape["data"]
+            b_pad = -(-b_pad // n_data) * n_data
+        return b_pad
 
     def warmup(self, batch_size: int = 8) -> None:
         """Pre-compile every (batch, bucket) shape reachable for

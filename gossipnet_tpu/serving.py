@@ -41,6 +41,10 @@ __all__ = ["TcpServer", "serve_stream", "serve_file", "main"]
 
 
 def _build(args) -> Rescorer:
+    if getattr(args, "artifact", None):
+        from gossipnet_tpu.utils.model_artifact import ArtifactRescorer
+
+        return ArtifactRescorer(args.artifact)
     cfg = load_config(args.config) if args.config else load_config(None)
     if args.random_init:
         import jax
@@ -491,6 +495,10 @@ def main(argv=None):
                    help="training category list for multiclass file mode "
                         "(JSON list of category ids, or the training COCO "
                         "annotation file); defaults to cfg.data.ann_file")
+    p.add_argument("--artifact", default=None,
+                   help="serve from an exported AOT artifact "
+                        "(utils/model_artifact.py); no config or "
+                        "checkpoint needed")
     p.add_argument("--random-init", action="store_true",
                    help="untrained weights (smoke tests only)")
     p.add_argument("--sync", action="store_true",
