@@ -20,8 +20,10 @@ Format: a zip with ``meta.json`` (format version, lowering platforms,
 shape inventory, the full Config tree) and one serialized
 ``jax.export.Exported`` blob per (batch, bucket) shape. Artifacts are
 platform-bound (a TPU artifact embeds Mosaic custom calls; jax.export
-enforces platform at call time) — export on the platform you serve on,
-or pass ``platforms=`` for a multi-platform lowering.
+enforces platform at call time). Lowering is device-free: a TPU
+artifact — Pallas kernels included — can be BUILT on a CPU-only
+machine with ``platforms=("tpu",)`` (the CI/build-host story; tested),
+it just can only be run on a TPU.
 """
 
 from __future__ import annotations

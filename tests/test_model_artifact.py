@@ -4,6 +4,7 @@ and plug into the serving layer unchanged."""
 import json
 import zipfile
 
+import jax
 import numpy as np
 import pytest
 
@@ -116,6 +117,45 @@ def test_artifact_rejects_future_format(tmp_path):
             zout.writestr(item, data)
     with pytest.raises(ValueError, match="format_version"):
         ma.ArtifactRescorer(bumped)
+
+
+def test_cross_platform_tpu_export_from_cpu_host(tmp_path):
+    """A TPU serving artifact — including the fused Pallas pair kernel
+    (Mosaic lowers device-free) — can be built on a CPU-only machine:
+    the CI/build-host deployment story. Execution parity is the
+    tpu-marked test below."""
+    cfg, params = _tiny_setup()
+    path = tmp_path / "tpu.gnetart"
+    meta = ma.export_artifact(cfg, params, path, batch_sizes=(1,),
+                              pool_impl="pallas", platforms=("tpu",))
+    assert meta["platforms"] == ["tpu"]
+    assert meta["pool_impl"] == "pallas"
+    assert ma.read_artifact_meta(path)["shapes"] == [[1, 64], [1, 128]]
+    # loading on a CPU backend must still parse the container (calling
+    # it would raise jax.export's platform check, not garbage)
+    art = ma.ArtifactRescorer(path)
+    assert art.cfg.model.num_blocks == cfg.model.num_blocks
+    with pytest.raises(Exception, match="(?i)platform|tpu"):
+        art(np.zeros((4, 4), np.float32), np.full((4,), 0.5, np.float32))
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="needs real TPU (GNET_TPU=1 pytest -m tpu)")
+def test_artifact_on_chip_parity(tmp_path):
+    """On real hardware: a pallas artifact reproduces the live pallas
+    Rescorer bit-for-bit shapes and near-exact values."""
+    cfg, params = _tiny_setup()
+    live = Rescorer(cfg, params, pool_impl="pallas")
+    path = tmp_path / "chip.gnetart"
+    ma.export_artifact(cfg, params, path, batch_sizes=(1, 2),
+                       pool_impl="pallas")
+    art = ma.ArtifactRescorer(path)
+    images = _images(3)
+    got = art.rescore_batch(images, batch_size=2)
+    want = live.rescore_batch(images, batch_size=2)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
 
 
 def test_artifact_through_serving_layer(tmp_path):
