@@ -177,6 +177,11 @@ class TcpServer:
 
         self.rescorer = rescorer
         self.threshold = threshold
+        # An ArtifactRescorer can only dispatch shapes it exported:
+        # clamp so warmup/grouping never exceed the artifact's max batch.
+        max_b = getattr(rescorer, "_max_batch", None)
+        if max_b is not None:
+            batch_size = min(batch_size, max_b)
         self.batch_size = batch_size
         self.max_window_s = window_ms / 1e3
         self.min_window_s = min(min_window_ms / 1e3, self.max_window_s)
@@ -187,7 +192,6 @@ class TcpServer:
         self.stats = {"images": 0, "batches": 0, "errors": 0}
         self._service_ema = {}   # bucket -> EMA device service time (s)
         self._queue = None
-        self._threads = []
 
     # -- internals --
     def _parse(self, req):
@@ -363,13 +367,8 @@ class TcpServer:
                 client, _ = self.sock.accept()
             except OSError:
                 return   # socket closed by stop()
-            t = threading.Thread(target=self._client_loop, args=(client,),
-                                 daemon=True)
-            t.start()
-            # Prune finished client threads so a long-running server's
-            # bookkeeping stays bounded by live connections.
-            self._threads = [x for x in self._threads if x.is_alive()]
-            self._threads.append(t)
+            threading.Thread(target=self._client_loop, args=(client,),
+                             daemon=True).start()
 
     # -- lifecycle --
     def start(self):
@@ -508,11 +507,15 @@ def main(argv=None):
                    help="serve concurrent clients over TCP on PORT "
                         "(JSON lines per connection; 0 = ephemeral)")
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="TCP mode max micro-batch (clamped to an "
+                        "artifact's max exported batch)")
     args = p.parse_args(argv)
     rescorer = _build(args)
     if args.tcp is not None:
         server = TcpServer(rescorer, host=args.host, port=args.tcp,
-                           threshold=args.threshold).start()
+                           threshold=args.threshold,
+                           batch_size=args.batch_size).start()
         print(f"serving on {args.host}:{server.port}", file=sys.stderr,
               flush=True)
         server.serve_forever()

@@ -213,12 +213,10 @@ def main(argv=None):
         from gossipnet_tpu.utils.export import load_params_npz
 
         params = load_params_npz(args.params_npz)
-        rescorer = Rescorer(cfg, params)
     else:
-        rescorer = Rescorer.from_checkpoint(cfg, args.checkpoint_dir)
+        params = Rescorer.from_checkpoint(cfg, args.checkpoint_dir).params
     batches = tuple(int(x) for x in args.batches.split(","))
-    meta = export_artifact(cfg, rescorer.params, args.out,
-                           batch_sizes=batches)
+    meta = export_artifact(cfg, params, args.out, batch_sizes=batches)
     sizes = Path(args.out).stat().st_size
     print(f"wrote {args.out}: {len(meta['shapes'])} shapes "
           f"({meta['platforms']}), {sizes / 1e6:.1f} MB")

@@ -158,6 +158,34 @@ def test_artifact_on_chip_parity(tmp_path):
         np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
 
 
+def test_tcp_server_clamps_to_artifact_batches(tmp_path):
+    """TcpServer with a small-batch artifact must clamp its batch_size
+    to the max exported batch instead of crashing at warmup (its
+    default batch_size=8 would otherwise dispatch an unexported
+    shape)."""
+    import socket
+
+    from gossipnet_tpu.serving import TcpServer
+
+    cfg, params = _tiny_setup()
+    path = tmp_path / "m.gnetart"
+    ma.export_artifact(cfg, params, path, batch_sizes=(1, 2),
+                       pool_impl="dense")
+    art = ma.ArtifactRescorer(path)
+    server = TcpServer(art, port=0, threshold=0.0).start()
+    assert server.batch_size == 2
+    try:
+        bx, sc, _ = _images(1)[0]
+        with socket.create_connection(("127.0.0.1", server.port)) as s:
+            f = s.makefile("r")
+            s.sendall((json.dumps({"id": 3, "boxes": bx.tolist(),
+                                   "scores": sc.tolist()}) + "\n").encode())
+            resp = json.loads(f.readline())
+        assert resp["id"] == 3 and len(resp["new_scores"]) == len(sc)
+    finally:
+        server.stop()
+
+
 def test_artifact_through_serving_layer(tmp_path):
     """serve_stream (the CLI's default mode) over an ArtifactRescorer."""
     import io
