@@ -123,6 +123,14 @@ class TrainConfig:
     # pre-stacked same-shape batches). >1 amortizes host dispatch latency;
     # logging/checkpoint cadence rounds to multiples of this.
     steps_per_call: int = 1
+    # Gradient accumulation (optax.MultiSteps): average grads over k
+    # micro-batches before one optimizer update — effective batch
+    # k x batch_size at batch_size memory (the N=4096 crowd config is
+    # memory-bound at B=2). max_steps/log_every/etc. keep counting
+    # MICRO-batches; LR schedules advance per parameter UPDATE, so
+    # schedule horizons (cosine decay, step boundaries, warmup) are
+    # interpreted in micro-steps and scaled by 1/k internally.
+    grad_accum_steps: int = 1
 
 
 @dataclass(frozen=True)
@@ -233,6 +241,10 @@ def validate_config(cfg: Config) -> None:
                 f"matching.thresholds must be in (0, 1], got {t!r} in "
                 f"{tuple(cfg.matching.thresholds)}"
             )
+    if cfg.train.grad_accum_steps < 1:
+        raise ValueError(
+            f"train.grad_accum_steps must be >= 1, got "
+            f"{cfg.train.grad_accum_steps}")
     ew = cfg.model.pair_elementwise_dtype
     if ew not in ("float32", "bfloat16"):
         raise ValueError(f"pair_elementwise_dtype must be float32 or "

@@ -37,20 +37,28 @@ class TrainState(train_state.TrainState):
 
 def make_lr_schedule(cfg: Config) -> optax.Schedule:
     t = cfg.train
+    # Schedule horizons are configured in MICRO-steps but the schedule's
+    # count advances once per parameter UPDATE (optax.MultiSteps applies
+    # the inner chain every grad_accum_steps micro-steps), so horizons
+    # scale by 1/k here. k=1 is the identity.
+    k = max(t.grad_accum_steps, 1)
     if t.lr_schedule == "constant":
         sched = optax.constant_schedule(t.learning_rate)
     elif t.lr_schedule == "step":
         sched = optax.piecewise_constant_schedule(
             t.learning_rate,
-            {int(s): t.lr_decay_rate for s in t.lr_decay_steps},
+            {max(int(s) // k, 1): t.lr_decay_rate for s in t.lr_decay_steps},
         )
     elif t.lr_schedule == "cosine":
-        sched = optax.cosine_decay_schedule(t.learning_rate, t.max_steps)
+        sched = optax.cosine_decay_schedule(
+            t.learning_rate, max(t.max_steps // k, 1))
     else:
         raise ValueError(f"unknown lr_schedule {t.lr_schedule!r}")
     if t.warmup_steps > 0:
-        warm = optax.linear_schedule(0.0, t.learning_rate, t.warmup_steps)
-        sched = optax.join_schedules([warm, sched], [t.warmup_steps])
+        warm = optax.linear_schedule(0.0, t.learning_rate,
+                                     max(t.warmup_steps // k, 1))
+        sched = optax.join_schedules([warm, sched],
+                                     [max(t.warmup_steps // k, 1)])
     return sched
 
 
@@ -69,7 +77,15 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     if t.grad_clip_norm > 0:
         chain.append(optax.clip_by_global_norm(t.grad_clip_norm))
     chain.append(opt)
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if t.grad_accum_steps > 1:
+        # Average grads over k micro-batches, then apply the whole
+        # chain once (clipping sees the accumulated mean, matching the
+        # big-batch step it emulates). Works unchanged inside the
+        # scanned multi-step path and the shard_map mesh step — the
+        # MultiSteps state is just more (replicated) optimizer pytree.
+        tx = optax.MultiSteps(tx, every_k_schedule=t.grad_accum_steps)
+    return tx
 
 
 def build_model(cfg: Config, pool_impl: str = "dense") -> GossipNet:
