@@ -26,3 +26,34 @@ Design (idiomatic JAX/XLA/Pallas — NOT a port):
 __version__ = "0.1.0"
 
 from gossipnet_tpu.config import Config, load_config  # noqa: F401
+
+# Heavier entry points resolve lazily so `import gossipnet_tpu` stays
+# cheap (config-only) and jax/flax initialize only when actually used.
+_LAZY = {
+    "Rescorer": ("gossipnet_tpu.api", "Rescorer"),
+    "ArtifactRescorer": ("gossipnet_tpu.utils.model_artifact",
+                         "ArtifactRescorer"),
+    "export_artifact": ("gossipnet_tpu.utils.model_artifact",
+                        "export_artifact"),
+    "train": ("gossipnet_tpu.train", "train"),
+    "build_model": ("gossipnet_tpu.train", "build_model"),
+    "evaluate_model": ("gossipnet_tpu.evaluate", "evaluate_model"),
+    "TcpServer": ("gossipnet_tpu.serving", "TcpServer"),
+}
+
+__all__ = ["Config", "load_config", *sorted(_LAZY)]
+
+
+def __getattr__(name: str):
+    try:
+        mod_name, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}") from None
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY))
