@@ -211,6 +211,23 @@ class TcpServer:
                                    truncate=False)
         return boxes, scores, classes
 
+    def stats_snapshot(self) -> dict:
+        """Operational counters for a `{"stats": true}` request: served
+        images/batches/errors, mean batch size, and each bucket's
+        service-time EMA + current adaptive window (ms)."""
+        images = self.stats["images"]
+        batches = self.stats["batches"]
+        return {
+            **self.stats,
+            "mean_batch": round(images / batches, 3) if batches else None,
+            "buckets": {
+                str(b): {"service_ema_ms": round(ema * 1e3, 2),
+                         "window_ms": round(self._window_s(b) * 1e3, 2)}
+                for b, ema in sorted(self._service_ema.items())},
+            "batch_size": self.batch_size,
+            "pipeline_depth": self.pipeline_depth,
+        }
+
     def _reply(self, client, lock, req, new_scores):
         keep = np.nonzero(new_scores > self.threshold)[0]
         line = json.dumps({
@@ -345,6 +362,16 @@ class TcpServer:
                 req = None
                 try:
                     req = json.loads(line)
+                    if isinstance(req, dict) and req.get("stats"):
+                        # Observability probe: answer inline from the
+                        # reader thread, never touches the device.
+                        with lock:
+                            try:
+                                client.sendall((json.dumps(
+                                    self.stats_snapshot()) + "\n").encode())
+                            except OSError:
+                                return
+                        continue
                     image = self._parse(req)
                 except (ValueError, KeyError, TypeError) as e:
                     self.stats["errors"] += 1
@@ -513,12 +540,29 @@ def main(argv=None):
     args = p.parse_args(argv)
     rescorer = _build(args)
     if args.tcp is not None:
+        import signal
+        import threading
+
         server = TcpServer(rescorer, host=args.host, port=args.tcp,
                            threshold=args.threshold,
                            batch_size=args.batch_size).start()
         print(f"serving on {args.host}:{server.port}", file=sys.stderr,
               flush=True)
-        server.serve_forever()
+        done = threading.Event()
+
+        def _drain(signum, frame):
+            # Graceful drain: stop accepting, flush in-flight batches,
+            # answer everything already queued, then exit 0.
+            del signum, frame
+            done.set()
+
+        signal.signal(signal.SIGTERM, _drain)
+        signal.signal(signal.SIGINT, _drain)
+        done.wait()
+        server.stop()
+        s = server.stats
+        print(f"drained: {s['images']} images in {s['batches']} batches, "
+              f"{s['errors']} errors", file=sys.stderr, flush=True)
     elif args.input:
         if args.output:
             out_path = args.output

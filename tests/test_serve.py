@@ -402,3 +402,65 @@ def test_tcp_server_survives_bad_requests():
         assert server.stats["images"] == 1
     finally:
         server.stop()
+
+
+def test_tcp_server_stats_request():
+    """{"stats": true} answers inline with operational counters and
+    never touches the device."""
+    import socket
+
+    serve_mod, rescorer = _tcp_fixture()
+    server = serve_mod.TcpServer(rescorer, port=0, threshold=0.0).start()
+    rng = np.random.default_rng(2)
+    try:
+        with socket.create_connection(("127.0.0.1", server.port)) as s:
+            f = s.makefile("r")
+            s.sendall((json.dumps(_req(rng, 5, "a")) + "\n").encode())
+            json.loads(f.readline())
+            s.sendall(b'{"stats": true}\n')
+            stats = json.loads(f.readline())
+        assert stats["images"] == 1 and stats["errors"] == 0
+        assert stats["mean_batch"] == 1.0
+        assert stats["buckets"]["32"]["service_ema_ms"] > 0
+        assert stats["batch_size"] == 8
+    finally:
+        server.stop()
+
+
+def test_tcp_cli_sigterm_drains(tmp_path):
+    """The --tcp CLI drains and exits 0 on SIGTERM (production
+    rollout/restart path)."""
+    import os
+    import signal
+    import socket
+    import sys as _sys
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(
+        "model:\n  num_blocks: 1\n  feature_dim: 16\n  reduced_dim: 8\n"
+        "  pairwise_dim: 8\ndata:\n  bucket_sizes: [32]\n"
+        "parallel:\n  enable: off\n")
+    env = {**os.environ, "PYTHONPATH": "/root/repo",
+           "JAX_PLATFORMS": "cpu"}
+    srv = subprocess.Popen(
+        [_sys.executable, "-m", "gossipnet_tpu.serve", "--random-init",
+         "-c", str(cfg_path), "--tcp", "0", "--threshold", "0.0",
+         "--batch-size", "2"],
+        env=env, stderr=subprocess.PIPE, text=True)
+    try:
+        line = srv.stderr.readline().strip()
+        assert line.startswith("serving on "), line
+        port = int(line.rsplit(":", 1)[1])
+        rng = np.random.default_rng(3)
+        with socket.create_connection(("127.0.0.1", port)) as s:
+            f = s.makefile("r")
+            s.sendall((json.dumps(_req(rng, 4, "x")) + "\n").encode())
+            resp = json.loads(f.readline())
+        assert len(resp["new_scores"]) == 4
+        srv.send_signal(signal.SIGTERM)
+        assert srv.wait(timeout=60) == 0
+        drained = srv.stderr.read()
+        assert "drained: 1 images" in drained, drained
+    finally:
+        if srv.poll() is None:
+            srv.kill()
