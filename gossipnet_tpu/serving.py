@@ -172,7 +172,14 @@ class TcpServer:
                  port: int = 0, threshold: float = 0.5,
                  batch_size: int = 8, window_ms: float = 10.0,
                  min_window_ms: float = 0.2, window_frac: float = 0.5,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2,
+                 max_queue_ms: float | None = None):
+        """``max_queue_ms``: LOAD SHEDDING bound — a request that has
+        waited longer than this in an open group (device saturated)
+        gets an {"id", "error": "overloaded..."} reply instead of
+        service, bounding queueing latency under overload (the measured
+        16-client saturation p99 is queue wait, BENCHMARKS.md). None
+        (default) = never shed, requests queue indefinitely."""
         import socket
 
         self.rescorer = rescorer
@@ -187,9 +194,11 @@ class TcpServer:
         self.min_window_s = min(min_window_ms / 1e3, self.max_window_s)
         self.window_frac = window_frac
         self.pipeline_depth = pipeline_depth
+        self.max_queue_s = (None if max_queue_ms is None
+                            else max_queue_ms / 1e3)
         self.sock = socket.create_server((host, port))
         self.port = self.sock.getsockname()[1]
-        self.stats = {"images": 0, "batches": 0, "errors": 0}
+        self.stats = {"images": 0, "batches": 0, "errors": 0, "shed": 0}
         self._service_ema = {}   # bucket -> EMA device service time (s)
         self._queue = None
 
@@ -270,6 +279,18 @@ class TcpServer:
             for b in sorted(pending, key=lambda b: pending[b][0]):
                 while b in pending:
                     deadline, items = pending[b]
+                    if self.max_queue_s is not None:
+                        t = time.monotonic()
+                        live = [it for it in items
+                                if t - it[4] <= self.max_queue_s]
+                        if len(live) != len(items):
+                            for it in items:
+                                if t - it[4] > self.max_queue_s:
+                                    self._shed(it, t - it[4])
+                            if not live:
+                                del pending[b]
+                                break
+                            pending[b][1] = items = live
                     if not (stopping or deadline <= now
                             or len(items) >= self.batch_size):
                         break
@@ -313,6 +334,19 @@ class TcpServer:
                         time.monotonic() + self._window_s(bucket), []]
                 pending[bucket][1].append(item)
 
+    def _shed(self, item, waited_s: float):
+        """Overload reply for a request that out-waited max_queue_ms."""
+        client, lock, req = item[0], item[1], item[2]
+        self.stats["shed"] += 1
+        with lock:
+            try:
+                client.sendall((json.dumps({
+                    "id": req.get("id"),
+                    "error": f"overloaded: queued {waited_s * 1e3:.0f} ms "
+                             f"> max_queue_ms"}) + "\n").encode())
+            except OSError:
+                pass
+
     def _dispatch_group(self, bucket: int, group: list):
         import time
 
@@ -347,11 +381,12 @@ class TcpServer:
             self._service_ema[bucket] = 0.7 * prev + 0.3 * dt
             self.stats["batches"] += 1
             self.stats["images"] += len(group)
-            for (client, lock, req, _), new_scores in zip(group, results):
+            for (client, lock, req, *_), new_scores in zip(group, results):
                 self._reply(client, lock, req, new_scores)
 
     def _client_loop(self, client):
         import threading
+        import time
 
         lock = threading.Lock()
         with client, client.makefile("r", encoding="utf-8") as f:
@@ -384,7 +419,8 @@ class TcpServer:
                         except OSError:
                             return
                     continue
-                self._queue.put((client, lock, req, image))
+                self._queue.put((client, lock, req, image,
+                                 time.monotonic()))
 
     def _accept_loop(self):
         import threading
@@ -537,6 +573,11 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=8,
                    help="TCP mode max micro-batch (clamped to an "
                         "artifact's max exported batch)")
+    p.add_argument("--max-queue-ms", type=float, default=None,
+                   help="TCP mode load-shedding bound: requests queued "
+                        "longer than this under overload get an "
+                        "'overloaded' error reply (default: queue "
+                        "indefinitely)")
     args = p.parse_args(argv)
     rescorer = _build(args)
     if args.tcp is not None:
@@ -545,7 +586,8 @@ def main(argv=None):
 
         server = TcpServer(rescorer, host=args.host, port=args.tcp,
                            threshold=args.threshold,
-                           batch_size=args.batch_size).start()
+                           batch_size=args.batch_size,
+                           max_queue_ms=args.max_queue_ms).start()
         print(f"serving on {args.host}:{server.port}", file=sys.stderr,
               flush=True)
         done = threading.Event()

@@ -464,3 +464,59 @@ def test_tcp_cli_sigterm_drains(tmp_path):
     finally:
         if srv.poll() is None:
             srv.kill()
+
+
+def test_tcp_server_load_shedding():
+    """With max_queue_ms set, requests stuck behind a saturated device
+    get an 'overloaded' error instead of unbounded queueing; every
+    request is answered exactly once."""
+    import socket
+    import time
+
+    serve_mod, rescorer = _tcp_fixture()
+
+    class SlowRescorer:
+        """Delegate that makes each dispatch occupy its slot ~0.3 s."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def rescore_async(self, group, padded_n):
+            handle = self._inner.rescore_async(group, padded_n)
+
+            class SlowHandle:
+                def wait(self_inner):
+                    time.sleep(0.3)
+                    return handle.wait()
+
+            return SlowHandle()
+
+    server = serve_mod.TcpServer(
+        SlowRescorer(rescorer), port=0, threshold=0.0, window_ms=5.0,
+        batch_size=2, pipeline_depth=1, max_queue_ms=50.0).start()
+    rng = np.random.default_rng(4)
+    served, shed = 0, 0
+    try:
+        with socket.create_connection(("127.0.0.1", server.port)) as s:
+            f = s.makefile("r")
+            n_reqs = 6
+            for k in range(n_reqs):
+                s.sendall((json.dumps(_req(rng, 4, f"q{k}")) + "\n")
+                          .encode())
+            for _ in range(n_reqs):
+                resp = json.loads(f.readline())
+                if "error" in resp:
+                    assert "overloaded" in resp["error"]
+                    shed += 1
+                else:
+                    assert len(resp["new_scores"]) == 4
+                    served += 1
+    finally:
+        server.stop()
+    assert served + shed == 6
+    assert shed >= 1, "saturated queue must shed"
+    assert served >= 1, "the in-flight batch must still be served"
+    assert server.stats["shed"] == shed
