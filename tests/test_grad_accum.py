@@ -133,3 +133,30 @@ def test_train_loop_and_mesh_smoke(tmp_path):
 def test_config_validates_accum():
     with pytest.raises(ValueError, match="grad_accum_steps"):
         load_config(None, overrides={"train": {"grad_accum_steps": 0}})
+
+
+def test_resume_mid_accumulation_window(tmp_path):
+    """Checkpointing at a step where gradients are HALF-accumulated
+    (grad_accum_steps=4, snapshot at step 6) must resume
+    bit-reproducibly: the MultiSteps state (mini-step counter +
+    accumulated grads) rides the checkpoint."""
+    from gossipnet_tpu.data.synthetic import synthetic_roidb
+    from gossipnet_tpu.train import train
+
+    db = synthetic_roidb(num_images=16, seed=0, num_gt=4, dets_per_gt=3,
+                         num_clutter=4)
+
+    def cfg_for(ckpt, snap):
+        return _cfg(grad_accum_steps=4, max_steps=12, snapshot_every=snap,
+                    learning_rate=3e-3,
+                    checkpoint_dir=str(tmp_path / ckpt))
+
+    state_a = train(cfg_for("a", 0), db, pool_impl="dense", max_steps=12)
+
+    cfg_b = cfg_for("b", 6)   # 6 % 4 != 0: mid-window snapshot
+    train(cfg_b, db, pool_impl="dense", max_steps=6)
+    state_b = train(cfg_b, db, pool_impl="dense", max_steps=12)
+
+    la = _flat(state_a.params)
+    lb = _flat(state_b.params)
+    np.testing.assert_allclose(la, lb, rtol=1e-6, atol=1e-7)
