@@ -62,12 +62,13 @@ def rescore_roidb(
     detection order. One jit specialization per bucket shape.
 
     ``forward_fn(boxes, scores, valid, classes) -> scores`` overrides
-    the local jitted forward — the mesh path passes
-    :func:`sharded_forward_fn` here.
+    the local jitted forward (the mesh path passes
+    :func:`sharded_forward_fn`, the artifact path an exported call);
+    ``model`` may be None when it is given.
     """
-    multiclass = model.cfg.num_classes > 1
-
     if forward_fn is None:
+        multiclass = model.cfg.num_classes > 1
+
         @jax.jit
         def forward_fn(boxes, scores, valid, classes):
             logits = model.apply(
@@ -195,9 +196,24 @@ def main(argv=None) -> None:
     p.add_argument("--nms-sweep", action="store_true",
                    help="sweep GreedyNMS thresholds for the tuned baseline")
     p.add_argument("--pool-impl", default=None)
+    p.add_argument("--artifact", default=None,
+                   help="evaluate an exported AOT serving artifact "
+                        "(utils/model_artifact.py) instead of a "
+                        "checkpoint; -c still selects the eval dataset "
+                        "(defaults to the artifact's embedded config)")
     args = p.parse_args(argv)
 
-    cfg = load_config(args.config)
+    artifact = None
+    if args.artifact:
+        from gossipnet_tpu.utils.model_artifact import ArtifactRescorer
+
+        artifact = ArtifactRescorer(args.artifact)
+    if args.config:
+        cfg = load_config(args.config)
+    elif artifact is not None:
+        cfg = artifact.cfg
+    else:
+        cfg = load_config(None)
     if cfg.data.dataset == "synthetic":
         from gossipnet_tpu.data.synthetic import synthetic_roidb
 
@@ -215,32 +231,51 @@ def main(argv=None) -> None:
                             person_only=cfg.data.person_only,
                             max_dets=cfg.data.max_detections)
 
-    pool_impl = args.pool_impl or (
-        "pallas" if jax.default_backend() == "tpu" else "dense"
-    )
-    model = build_model(cfg, pool_impl)
-    it = BatchIterator(roidb, cfg.train.batch_size, cfg.data.bucket_sizes)
-    state = create_train_state(cfg, model, next(it))
-    ckpt_dir = args.checkpoint_dir or cfg.train.checkpoint_dir
-    ckpt = CheckpointManager(ckpt_dir)
-    if ckpt.latest_step() is not None:
-        state, _ = ckpt.restore(state)
-        print(f"restored step {int(state.step)} from {ckpt_dir}")
+    if artifact is not None:
+        # Exact eval batch shapes must exist in the artifact: clamp the
+        # batch and use the artifact's bucket list.
+        batch_size = min(cfg.train.batch_size, artifact._max_batch)
+        bucket_sizes = tuple(artifact.cfg.data.bucket_sizes)
+        params, model = None, None
+
+        def fwd(boxes, scores, valid, classes):
+            return artifact._fn(scores.shape[0], scores.shape[1])(
+                None, boxes, scores, valid,
+                classes if classes is not None
+                else np.zeros(scores.shape, np.int32))
+
+        print(f"evaluating artifact {args.artifact} "
+              f"({len(artifact.meta['shapes'])} shapes)")
     else:
-        print(f"WARNING: no checkpoint in {ckpt_dir}; evaluating init")
+        batch_size = cfg.train.batch_size
+        bucket_sizes = cfg.data.bucket_sizes
+        pool_impl = args.pool_impl or (
+            "pallas" if jax.default_backend() == "tpu" else "dense"
+        )
+        model = build_model(cfg, pool_impl)
+        it = BatchIterator(roidb, batch_size, bucket_sizes)
+        state = create_train_state(cfg, model, next(it))
+        ckpt_dir = args.checkpoint_dir or cfg.train.checkpoint_dir
+        ckpt = CheckpointManager(ckpt_dir)
+        if ckpt.latest_step() is not None:
+            state, _ = ckpt.restore(state)
+            print(f"restored step {int(state.step)} from {ckpt_dir}")
+        else:
+            print(f"WARNING: no checkpoint in {ckpt_dir}; evaluating init")
+        params = state.params
 
-    from gossipnet_tpu.parallel.sharding import mesh_from_config
+        from gossipnet_tpu.parallel.sharding import mesh_from_config
 
-    mesh = mesh_from_config(cfg, for_training=False)
-    fwd = None
-    if mesh is not None:
-        fwd = sharded_forward_fn(cfg, mesh, state.params)
-        print(f"evaluating on mesh {dict(mesh.shape)}")
+        mesh = mesh_from_config(cfg, for_training=False)
+        fwd = None
+        if mesh is not None:
+            fwd = sharded_forward_fn(cfg, mesh, params)
+            print(f"evaluating on mesh {dict(mesh.shape)}")
     out = {
         "gossipnet": evaluate_model(
-            state.params, model, roidb,
-            batch_size=cfg.train.batch_size,
-            bucket_sizes=cfg.data.bucket_sizes,
+            params, model, roidb,
+            batch_size=batch_size,
+            bucket_sizes=bucket_sizes,
             forward_fn=fwd,
         ),
         "raw_scores": evaluate_raw_scores(roidb),

@@ -205,3 +205,28 @@ def test_artifact_through_serving_layer(tmp_path):
     assert n == 1
     resp = json.loads(out.getvalue())
     assert resp["id"] == 7 and len(resp["new_scores"]) == len(sc)
+
+
+def test_evaluate_cli_on_artifact(tmp_path, capsys):
+    """`python -m gossipnet_tpu.evaluate --artifact X` reproduces the
+    live-model eval exactly (the artifact-parity validation tool)."""
+    from gossipnet_tpu import evaluate as ev
+    from gossipnet_tpu.data.synthetic import synthetic_roidb
+    from gossipnet_tpu.train import build_model
+
+    cfg, params = _tiny_setup()
+    path = tmp_path / "m.gnetart"
+    ma.export_artifact(cfg, params, path, batch_sizes=(2,),
+                       pool_impl="dense")
+
+    ev.main(["--artifact", str(path)])
+    out = capsys.readouterr().out
+    stats = json.loads(out[out.index("{"):])
+    assert 0.0 <= stats["gossipnet"]["AP"] <= 1.0
+
+    # must equal the live model evaluated on the same roidb/batching
+    model = build_model(cfg, "dense")
+    roidb = synthetic_roidb(num_images=64, seed=123)
+    want = ev.evaluate_model(params, model, roidb, batch_size=2,
+                             bucket_sizes=cfg.data.bucket_sizes)
+    assert stats["gossipnet"] == pytest.approx(want, abs=1e-9)
