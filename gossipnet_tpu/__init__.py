@@ -30,12 +30,15 @@ from gossipnet_tpu.config import Config, load_config  # noqa: F401
 # Heavier entry points resolve lazily so `import gossipnet_tpu` stays
 # cheap (config-only) and jax/flax initialize only when actually used.
 _LAZY = {
+    # NB: no entry may share a name with a SUBMODULE (e.g. "train"):
+    # importing the submodule sets it as a package attribute, which
+    # would shadow the lazy entry non-deterministically. Use
+    # gossipnet_tpu.train.train / .evaluate.evaluate_model directly.
     "Rescorer": ("gossipnet_tpu.api", "Rescorer"),
     "ArtifactRescorer": ("gossipnet_tpu.utils.model_artifact",
                          "ArtifactRescorer"),
     "export_artifact": ("gossipnet_tpu.utils.model_artifact",
                         "export_artifact"),
-    "train": ("gossipnet_tpu.train", "train"),
     "build_model": ("gossipnet_tpu.train", "build_model"),
     "evaluate_model": ("gossipnet_tpu.evaluate", "evaluate_model"),
     "TcpServer": ("gossipnet_tpu.serving", "TcpServer"),

@@ -232,9 +232,13 @@ def main(argv=None) -> None:
                             max_dets=cfg.data.max_detections)
 
     if artifact is not None:
-        # Exact eval batch shapes must exist in the artifact: clamp the
-        # batch and use the artifact's bucket list.
-        batch_size = min(cfg.train.batch_size, artifact._max_batch)
+        # eval_batches pads every batch to exactly batch_size, and the
+        # artifact serves only exported (b, n) shapes — so batch_size
+        # must BE an exported batch: the largest one <= the configured
+        # batch (else the smallest exported).
+        exported_bs = sorted({b for b, _ in artifact._exported})
+        fitting = [b for b in exported_bs if b <= cfg.train.batch_size]
+        batch_size = fitting[-1] if fitting else exported_bs[0]
         bucket_sizes = tuple(artifact.cfg.data.bucket_sizes)
         params, model = None, None
 

@@ -167,6 +167,7 @@ class TcpServer:
 
     _STOP = object()
     _WAKE = object()   # replier -> batcher: a device slot just freed
+    _SHED = object()   # batcher -> replier: send an overload reply
 
     def __init__(self, rescorer: Rescorer, host: str = "127.0.0.1",
                  port: int = 0, threshold: float = 0.5,
@@ -335,17 +336,14 @@ class TcpServer:
                 pending[bucket][1].append(item)
 
     def _shed(self, item, waited_s: float):
-        """Overload reply for a request that out-waited max_queue_ms."""
-        client, lock, req = item[0], item[1], item[2]
+        """Overload reply for a request that out-waited max_queue_ms.
+
+        The sendall is delegated to the replier thread: a client that
+        stopped reading has a full TCP send buffer exactly when
+        shedding fires, and a blocking send from the BATCHER thread
+        would head-of-line-block batching for every other client."""
         self.stats["shed"] += 1
-        with lock:
-            try:
-                client.sendall((json.dumps({
-                    "id": req.get("id"),
-                    "error": f"overloaded: queued {waited_s * 1e3:.0f} ms "
-                             f"> max_queue_ms"}) + "\n").encode())
-            except OSError:
-                pass
+        self._inflight.put((self._SHED, item, waited_s, None))
 
     def _dispatch_group(self, bucket: int, group: list):
         import time
@@ -368,6 +366,19 @@ class TcpServer:
             entry = self._inflight.get()
             if entry is self._STOP:
                 return
+            if entry[0] is self._SHED:
+                _, item, waited_s, _ = entry
+                client, lock, req = item[0], item[1], item[2]
+                with lock:
+                    try:
+                        client.sendall((json.dumps({
+                            "id": req.get("id"),
+                            "error": "overloaded: queued "
+                                     f"{waited_s * 1e3:.0f} ms "
+                                     "> max_queue_ms"}) + "\n").encode())
+                    except OSError:
+                        pass
+                continue
             handle, group, bucket, t0 = entry
             results = handle.wait()
             # Free the device slot before serializing replies so the

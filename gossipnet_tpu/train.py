@@ -45,10 +45,13 @@ def make_lr_schedule(cfg: Config) -> optax.Schedule:
     if t.lr_schedule == "constant":
         sched = optax.constant_schedule(t.learning_rate)
     elif t.lr_schedule == "step":
-        sched = optax.piecewise_constant_schedule(
-            t.learning_rate,
-            {max(int(s) // k, 1): t.lr_decay_rate for s in t.lr_decay_steps},
-        )
+        # Boundaries that collide after the 1/k scaling must COMPOUND
+        # their decay factors, not silently drop one (dict keys would).
+        bounds: dict = {}
+        for s in t.lr_decay_steps:
+            key = max(int(s) // k, 1)
+            bounds[key] = bounds.get(key, 1.0) * t.lr_decay_rate
+        sched = optax.piecewise_constant_schedule(t.learning_rate, bounds)
     elif t.lr_schedule == "cosine":
         sched = optax.cosine_decay_schedule(
             t.learning_rate, max(t.max_steps // k, 1))

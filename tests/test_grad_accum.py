@@ -160,3 +160,16 @@ def test_resume_mid_accumulation_window(tmp_path):
     la = _flat(state_a.params)
     lb = _flat(state_b.params)
     np.testing.assert_allclose(la, lb, rtol=1e-6, atol=1e-7)
+
+
+def test_step_schedule_boundaries_compound_on_collision():
+    """lr_decay_steps that collide after the 1/k scaling must compound
+    their decay factors, not silently drop one."""
+    from gossipnet_tpu.train import make_lr_schedule
+
+    cfg = _cfg(lr_schedule="step", learning_rate=1.0,
+               lr_decay_steps=(1000, 1002), lr_decay_rate=0.1,
+               grad_accum_steps=4)
+    sched = make_lr_schedule(cfg)
+    assert float(sched(249)) == pytest.approx(1.0)
+    assert float(sched(251)) == pytest.approx(0.01)  # both decays applied

@@ -230,3 +230,15 @@ def test_evaluate_cli_on_artifact(tmp_path, capsys):
     want = ev.evaluate_model(params, model, roidb, batch_size=2,
                              bucket_sizes=cfg.data.bucket_sizes)
     assert stats["gossipnet"] == pytest.approx(want, abs=1e-9)
+
+    # batch selection must pick an EXPORTED batch, not min(cfg, max):
+    # cfg batch 8 vs exported {1, 4} -> evaluates at 4; exported {4}
+    # alone (> any smaller config) -> evaluates at 4.
+    for batches in ((1, 4), (4,)):
+        p2 = tmp_path / f"m{len(batches)}.gnetart"
+        ma.export_artifact(cfg, params, p2, batch_sizes=batches,
+                           pool_impl="dense")
+        ev.main(["--artifact", str(p2)])
+        out2 = capsys.readouterr().out
+        stats2 = json.loads(out2[out2.index("{"):])
+        assert stats2["gossipnet"] == pytest.approx(want, abs=1e-9)
