@@ -54,11 +54,13 @@ class Rescorer:
         self._sharded_fn = None
 
     # --- constructors ---
-    @classmethod
-    def from_checkpoint(cls, cfg: Config, checkpoint_dir: str,
-                        pool_impl: str | None = None,
-                        best: bool = True) -> "Rescorer":
-        """Load the best-AP (or latest periodic) checkpoint."""
+    @staticmethod
+    def load_checkpoint_params(cfg: Config, checkpoint_dir: str,
+                               best: bool = True):
+        """Just the trained params from the best-AP (or latest periodic)
+        checkpoint — no model build, no mesh (tools that only need
+        weights, e.g. the artifact export CLI, use this so they run on
+        hosts without the training config's device topology)."""
         import orbax.checkpoint as ocp
         from pathlib import Path
 
@@ -81,7 +83,15 @@ class Rescorer:
             )
         else:
             restored, _ = CheckpointManager(checkpoint_dir).restore(template)
-        return cls(cfg, restored.params, pool_impl)
+        return restored.params
+
+    @classmethod
+    def from_checkpoint(cls, cfg: Config, checkpoint_dir: str,
+                        pool_impl: str | None = None,
+                        best: bool = True) -> "Rescorer":
+        """Load the best-AP (or latest periodic) checkpoint."""
+        params = cls.load_checkpoint_params(cfg, checkpoint_dir, best=best)
+        return cls(cfg, params, pool_impl)
 
     # --- internals ---
     def _fn(self, b: int, n: int):

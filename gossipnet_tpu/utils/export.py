@@ -14,22 +14,29 @@ import jax
 import numpy as np
 
 
-def save_params_npz(path: str | Path, params) -> None:
+def flatten_paths(params) -> dict:
+    """Param tree -> {'a/b/c': leaf} with '/'-joined key paths."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    blob = {
-        "/".join(str(k.key) for k in keypath): np.asarray(leaf)
-        for keypath, leaf in flat
-    }
-    np.savez_compressed(path, **blob)
+    return {"/".join(str(k.key) for k in keypath): np.asarray(leaf)
+            for keypath, leaf in flat}
+
+
+def unflatten_paths(flat: dict) -> dict:
+    """Inverse of :func:`flatten_paths` (the NPZ key convention)."""
+    tree: dict = {}
+    for path, v in flat.items():
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_params_npz(path: str | Path, params) -> None:
+    np.savez_compressed(path, **flatten_paths(params))
 
 
 def load_params_npz(path: str | Path) -> dict:
     data = np.load(path)
-    params: dict = {}
-    for key in data.files:
-        parts = key.split("/")
-        node = params
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = data[key]
-    return params
+    return unflatten_paths({k: data[k] for k in data.files})

@@ -38,9 +38,14 @@ from pathlib import Path
 
 import numpy as np
 
+# The '/'-joined path convention is shared with the NPZ interchange
+# format — one implementation (utils/export.py) serves both.
+from gossipnet_tpu.utils.export import flatten_paths as _flatten
+from gossipnet_tpu.utils.export import unflatten_paths as _unflatten
+
 __all__ = [
     "Rule", "DEFAULT_RULES", "ImportReport", "import_params",
-    "load_variables", "rules_from_json",
+    "load_variables", "load_variable_shapes", "rules_from_json",
 ]
 
 
@@ -129,38 +134,33 @@ class ImportReport:
         return "\n".join(lines)
 
 
-def _flatten(tree: dict, prefix: str = "") -> dict:
-    out = {}
-    for k, v in tree.items():
-        path = f"{prefix}{k}"
-        if isinstance(v, dict):
-            out.update(_flatten(v, path + "/"))
-        else:
-            out[path] = v
-    return out
-
-
-def _unflatten(flat: dict) -> dict:
-    tree: dict = {}
-    for path, v in flat.items():
-        parts = path.split("/")
-        node = tree
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = v
-    return tree
-
-
 def _fc1_slices(template_flat: dict, block: str,
                 fc1_order: tuple[str, ...]):
     """(name, target-path, rows) triples for the FC1 row split, in
-    source concat order."""
-    wa = template_flat[f"{block}/pair_wa"]
-    wb = template_flat[f"{block}/pair_wb"]
-    wg = template_flat[f"{block}/pair_wg"]
-    by_part = {"ri": (f"{block}/pair_wa", wa.shape[0]),
-               "rj": (f"{block}/pair_wb", wb.shape[0]),
-               "g": (f"{block}/pair_wg", wg.shape[0])}
+    source concat order. Errors stay on the importer's loud-failure
+    contract: unknown blocks / order tokens raise ValueError naming
+    the valid choices, never a bare KeyError."""
+    missing = [f"{block}/{w}" for w in ("pair_wa", "pair_wb", "pair_wg")
+               if f"{block}/{w}" not in template_flat]
+    if missing:
+        blocks = sorted({p.split("/")[0] for p in template_flat
+                         if "/pair_wa" in p})
+        raise ValueError(
+            f"FC1 split: source variable maps to {block!r} but the "
+            f"config's model has no such block (missing {missing}); "
+            f"blocks in the template: {blocks} — check model.num_blocks "
+            f"against the checkpoint")
+    by_part = {"ri": (f"{block}/pair_wa",
+                      template_flat[f"{block}/pair_wa"].shape[0]),
+               "rj": (f"{block}/pair_wb",
+                      template_flat[f"{block}/pair_wb"].shape[0]),
+               "g": (f"{block}/pair_wg",
+                     template_flat[f"{block}/pair_wg"].shape[0])}
+    bad = [p for p in fc1_order if p not in by_part]
+    if bad:
+        raise ValueError(
+            f"--fc1-order tokens {bad} unknown; valid: "
+            f"{sorted(by_part)} (got {list(fc1_order)})")
     return [(part,) + by_part[part] for part in fc1_order]
 
 
@@ -270,6 +270,22 @@ def load_variables(path: str | Path) -> dict[str, np.ndarray]:
     reader = tf.train.load_checkpoint(p)
     shape_map = reader.get_variable_to_shape_map()
     return {name: reader.get_tensor(name) for name in shape_map}
+
+
+def load_variable_shapes(path: str | Path) -> dict[str, tuple]:
+    """Name -> shape inventory WITHOUT materializing tensors.
+
+    The --list inspection step on a real reference checkpoint (conv
+    backbone + Adam slots can be GBs) reads only the shape map; NPZ
+    dumps are loaded normally (they are small here)."""
+    p = str(path)
+    if p.endswith(".npz"):
+        return {k: tuple(np.shape(v)) for k, v in load_variables(p).items()}
+    import tensorflow as tf  # lazy
+
+    reader = tf.train.load_checkpoint(p)
+    return {name: tuple(shape)
+            for name, shape in reader.get_variable_to_shape_map().items()}
 
 
 def rules_from_json(path: str | Path) -> tuple[Rule, ...]:

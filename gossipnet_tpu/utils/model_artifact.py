@@ -74,6 +74,11 @@ def export_artifact(cfg: Config, params, path, batch_sizes=(1, 2, 4, 8),
                              classes if multiclass else None)
         return jax.nn.sigmoid(logits)
 
+    if not cfg.data.bucket_sizes or not batch_sizes:
+        raise ValueError(
+            f"nothing to export: bucket_sizes="
+            f"{tuple(cfg.data.bucket_sizes)}, "
+            f"batch_sizes={tuple(batch_sizes)}")
     shapes, blobs = [], {}
     kwargs = {"platforms": platforms} if platforms else {}
     for n in cfg.data.bucket_sizes:
@@ -86,7 +91,7 @@ def export_artifact(cfg: Config, params, path, batch_sizes=(1, 2, 4, 8),
             )
             blobs[_blob_name(b, n)] = exp.serialize()
             shapes.append([b, n])
-            platforms = platforms or exp.platforms  # record the lowering
+    platforms = platforms or exp.platforms  # the recorded lowering
     meta = {
         "format_version": FORMAT_VERSION,
         "platforms": list(platforms),
@@ -206,6 +211,14 @@ def main(argv=None):
     p.add_argument("--params-npz", default=None,
                    help="weights NPZ (utils/export.py) instead of a "
                         "checkpoint dir")
+    p.add_argument("--platforms", default=None,
+                   help="comma list of lowering platforms (e.g. 'tpu' "
+                        "to build a TPU artifact on a CPU-only host); "
+                        "default: the current backend")
+    p.add_argument("--pool-impl", default=None,
+                   choices=("pallas", "dense"),
+                   help="kernel implementation to export (default: "
+                        "pallas when targeting tpu, else backend-based)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -214,9 +227,17 @@ def main(argv=None):
 
         params = load_params_npz(args.params_npz)
     else:
-        params = Rescorer.from_checkpoint(cfg, args.checkpoint_dir).params
+        # params only — no Rescorer/mesh build, so exporting works on
+        # hosts without the training config's device topology
+        params = Rescorer.load_checkpoint_params(cfg, args.checkpoint_dir)
     batches = tuple(int(x) for x in args.batches.split(","))
-    meta = export_artifact(cfg, params, args.out, batch_sizes=batches)
+    platforms = (tuple(args.platforms.split(","))
+                 if args.platforms else None)
+    pool_impl = args.pool_impl
+    if pool_impl is None and platforms and "tpu" in platforms:
+        pool_impl = "pallas"
+    meta = export_artifact(cfg, params, args.out, batch_sizes=batches,
+                           pool_impl=pool_impl, platforms=platforms)
     sizes = Path(args.out).stat().st_size
     print(f"wrote {args.out}: {len(meta['shapes'])} shapes "
           f"({meta['platforms']}), {sizes / 1e6:.1f} MB")

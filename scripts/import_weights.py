@@ -43,11 +43,13 @@ def main(argv=None):
 
     from gossipnet_tpu.utils import import_weights as iw
 
-    variables = iw.load_variables(args.src)
     if args.list:
-        for name in sorted(variables):
-            print(f"{name}: {tuple(np.shape(variables[name]))}")
+        # shapes only — never materializes a multi-GB checkpoint
+        shapes = iw.load_variable_shapes(args.src)
+        for name in sorted(shapes):
+            print(f"{name}: {shapes[name]}")
         return
+    variables = iw.load_variables(args.src)
 
     import jax
 
