@@ -107,9 +107,12 @@ spec = importlib.util.spec_from_file_location(
 serve_mod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(serve_mod)
 
-for n_clients in (4, 16):
+# (clients, max_queue_ms): the 16-client saturation row runs twice —
+# unbounded queueing, then with load shedding bounding the queue wait.
+for n_clients, shed_ms in ((4, None), (16, None), (16, 300.0)):
     server = serve_mod.TcpServer(rescorer, port=0, threshold=0.5,
-                                 batch_size=8, window_ms=10.0).start()
+                                 batch_size=8, window_ms=10.0,
+                                 max_queue_ms=shed_ms).start()
     lat_tcp, lock = [], threading.Lock()
     per_client = 48
 
@@ -124,8 +127,9 @@ for n_clients in (4, 16):
                                   "scores": sc.tolist()}) + "\n"
                 t0 = time.perf_counter()
                 s.sendall(req.encode())
-                json.loads(f.readline())
-                lats.append(time.perf_counter() - t0)
+                resp = json.loads(f.readline())
+                if "error" not in resp:   # shed replies don't count as
+                    lats.append(time.perf_counter() - t0)  # service time
         with lock:
             lat_tcp.extend(lats)
 
@@ -147,6 +151,8 @@ for n_clients in (4, 16):
         "tcp_p50": pct(lat_tcp, 50), "tcp_p99": pct(lat_tcp, 99),
         "images_per_sec": round(served / wall, 1),
         "mean_batch": round(served / max(batches, 1), 2),
+        "shed": server.stats["shed"],
+        "max_queue_ms": shed_ms,
         "note": "request->response round trip per client over localhost; "
                 "clients are synchronous (1 in flight each), so batching "
                 "comes from cross-client coalescing",
