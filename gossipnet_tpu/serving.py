@@ -313,9 +313,10 @@ class TcpServer:
                 return
             if blocked:
                 # Every slot is busy: a _WAKE is guaranteed when one
-                # frees, so wait indefinitely (new arrivals also wake
-                # us and join their open groups meanwhile).
-                timeout = None
+                # frees, and new arrivals also wake us. With shedding
+                # enabled, still wake on the shed horizon so queued
+                # items are shed on time even if the device stalls.
+                timeout = self.max_queue_s
             elif pending:
                 timeout = max(min(d for d, _ in pending.values())
                               - time.monotonic(), 0.0)
