@@ -240,9 +240,13 @@ class TcpServer:
 
     def _reply(self, client, lock, req, new_scores):
         keep = np.nonzero(new_scores > self.threshold)[0]
+        # np.round(...).tolist() serializes at C speed; a per-score
+        # Python round() loop costs ~1 ms per 800-det reply on the
+        # replier thread, which is pure GIL pressure under load.
         line = json.dumps({
             "id": req.get("id"),
-            "new_scores": [round(float(s), 6) for s in new_scores],
+            "new_scores": np.round(
+                np.asarray(new_scores, np.float64), 6).tolist(),
             "keep": keep.tolist(),
         }) + "\n"
         with lock:

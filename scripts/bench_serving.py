@@ -94,53 +94,37 @@ print(json.dumps({
 }), flush=True)
 
 # --- pipelined TCP server under concurrent clients (ROADMAP r3 #5) ------
-# 4 clients x 48 requests over localhost through scripts/serve.py's
+# N clients x 48 requests over localhost through gossipnet_tpu.serving's
 # TcpServer: per-bucket adaptive micro-batching + async-dispatch
 # pipeline. Measures what a real multi-client deployment sees
-# (socket + JSON overhead included).
-import importlib.util
-import socket
-import threading
+# (socket + JSON overhead included). Clients run as SUBPROCESSES
+# (scripts/_tcp_bench_client.py) with their own GILs: in-process thread
+# clients shared the server's GIL, so their json encode/decode —
+# client work a real deployment does on other machines — depressed the
+# measured saturation throughput (see BENCHMARKS.md for the delta).
+import subprocess
+import sys as _sys
 
-spec = importlib.util.spec_from_file_location(
-    "serve_mod", str(pathlib.Path(__file__).resolve().parent / "serve.py"))
-serve_mod = importlib.util.module_from_spec(spec)
-spec.loader.exec_module(serve_mod)
+from gossipnet_tpu.serving import TcpServer
+
+CLIENT = pathlib.Path(__file__).resolve().parent / "_tcp_bench_client.py"
 
 # (clients, max_queue_ms): the 16-client saturation row runs twice —
 # unbounded queueing, then with load shedding bounding the queue wait.
 for n_clients, shed_ms in ((4, None), (16, None), (16, 300.0)):
-    server = serve_mod.TcpServer(rescorer, port=0, threshold=0.5,
-                                 batch_size=8, window_ms=10.0,
-                                 max_queue_ms=shed_ms).start()
-    lat_tcp, lock = [], threading.Lock()
+    server = TcpServer(rescorer, port=0, threshold=0.5,
+                       batch_size=8, window_ms=10.0,
+                       max_queue_ms=shed_ms).start()
     per_client = 48
-
-    def tcp_client(cid):
-        rng_c = np.random.default_rng(100 + cid)
-        with socket.create_connection(("127.0.0.1", server.port)) as s:
-            f = s.makefile("r")
-            lats = []
-            for k in range(per_client):
-                bx, sc, _ = images[int(rng_c.integers(0, len(images)))]
-                req = json.dumps({"id": k, "boxes": bx.tolist(),
-                                  "scores": sc.tolist()}) + "\n"
-                t0 = time.perf_counter()
-                s.sendall(req.encode())
-                resp = json.loads(f.readline())
-                if "error" not in resp:   # shed replies don't count as
-                    lats.append(time.perf_counter() - t0)  # service time
-        with lock:
-            lat_tcp.extend(lats)
-
-    t0 = time.perf_counter()
-    threads = [threading.Thread(target=tcp_client, args=(c,))
-               for c in range(n_clients)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
+    procs = [subprocess.Popen(
+        [_sys.executable, str(CLIENT), str(server.port), str(c),
+         str(per_client)], stdout=subprocess.PIPE, text=True)
+        for c in range(n_clients)]
+    reports = [json.loads(p.communicate()[0]) for p in procs]
+    lat_tcp = [l for r in reports for l in r["lats"]]
+    # Wall clock of the overlapping client run windows (excludes each
+    # subprocess's interpreter/numpy startup).
+    wall = max(r["t1"] for r in reports) - min(r["t0"] for r in reports)
     served = server.stats["images"]
     batches = server.stats["batches"]
     server.stop()
@@ -155,6 +139,6 @@ for n_clients, shed_ms in ((4, None), (16, None), (16, 300.0)):
         "max_queue_ms": shed_ms,
         "note": "request->response round trip per client over localhost; "
                 "clients are synchronous (1 in flight each), so batching "
-                "comes from cross-client coalescing",
+                "comes from cross-client coalescing; subprocess clients",
     }), flush=True)
 print("DONE", flush=True)
