@@ -393,6 +393,29 @@ def _pair_mlp(spec: PoolSpec2, g8b, a_scr, wgT8_ref, w2T8_ref, b28_ref):
     return h1, pre2
 
 
+def _acc_max(spec: PoolSpec2, neighbor: Array, pre2: Array, acc: Array):
+    """Fused masked-relu + running-max tile epilogue.
+
+    With the accumulator invariant acc >= 0 (init 0, only ever updated
+    to a max against it), ``max(acc, masked_relu(pre2))`` is exactly
+    ``where(neighbor, max(acc, pre2), acc)``: for a neighbor pair with
+    pre2 <= 0, max(acc, pre2) == acc == max(acc, 0); for a non-neighbor,
+    acc == max(acc, 0). Pure comparisons/selects — values are bitwise
+    identical to the unfused chain — but 2 VPU passes ([R, M~] max +
+    select) instead of 4 (cmp + and + select + max). bf16 falls back to
+    the unfused arithmetic-masking path (_masked_relu doc: Mosaic
+    rejects the 3-D i1 select under 16-bit values)."""
+    if pre2.dtype == jnp.bfloat16:
+        return jnp.maximum(acc, _masked_relu(spec, neighbor, pre2))
+    if spec.p % 8 == 0:
+        x3 = pre2.reshape(spec.pk, spec.p, pre2.shape[-1])
+        a3 = acc.reshape(spec.pk, spec.p, acc.shape[-1])
+        return jnp.where(neighbor[:, None], jnp.maximum(a3, x3),
+                         a3).reshape(acc.shape)
+    nb = jnp.repeat(neighbor, spec.p, axis=0)
+    return jnp.where(nb, jnp.maximum(acc, pre2), acc)
+
+
 def _masked_relu(spec: PoolSpec2, neighbor: Array, pre2: Array):
     """h2 = relu(pre2) and the neighbor mask fused into ONE select:
     max(pre2, 0) * neighbor[pk, M~] broadcast over p (s-major rows) —
@@ -419,6 +442,39 @@ def _masked_relu(spec: PoolSpec2, neighbor: Array, pre2: Array):
         return out.reshape(pre2.shape)
     nb = jnp.repeat(neighbor, spec.p, axis=0)
     return jnp.where(nb & (pre2 > 0.0), pre2, 0.0)
+
+
+def _win_grad(spec: PoolSpec2, neighbor: Array, pre2: Array,
+              m: Array, dmg: Array) -> Array:
+    """dpre2: route dm to the max winners (fused backward gate).
+
+    The unfused chain is ``masked = _masked_relu(neighbor, pre2)``
+    then ``where(masked == m & masked > 0, dm, 0)``; that condition is
+    exactly ``neighbor & (pre2 == m) & (m > 0)`` (masked > 0 forces
+    neighbor, pre2 > 0 and masked == pre2; conversely pre2 == m > 0 on
+    a neighbor survives the mask). The ``m > 0`` gate is loop-invariant
+    per row tile and rides the dm hoist (dmg = where(m > 0, dm, 0) at
+    j == 0), leaving one eq + one select per tile instead of the
+    recompute's 7-pass mask/compare chain. Values bitwise identical.
+
+    bf16 keeps the unfused chain: XLA's excess-precision pass elides
+    the f32->bf16->f32 convert pair around the dot output, so
+    ``pre2.astype(f32)`` can carry UNROUNDED f32 values while the
+    forward's VMEM-stored bf16 accumulator was truly rounded — the
+    fused equality then misses most winners (measured: 766 -> 136 on
+    the parity test). The unfused max*mask ops materialize the
+    rounding. The hoisted dm gate stays correct either way (a winner
+    implies m == masked > 0)."""
+    if pre2.dtype == jnp.bfloat16:
+        masked = _masked_relu(spec, neighbor, pre2).astype(jnp.float32)
+        return jnp.where((masked == m) & (masked > 0.0), dmg, 0.0)
+    eq = pre2 == m
+    if spec.p % 8 == 0:
+        sh = (spec.pk, spec.p, pre2.shape[-1])
+        return jnp.where(neighbor[:, None] & eq.reshape(sh),
+                         dmg.reshape(sh), 0.0).reshape(pre2.shape)
+    nb = jnp.repeat(neighbor, spec.p, axis=0)
+    return jnp.where(nb & eq, dmg, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -457,8 +513,8 @@ def _fwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
         # (~2.4 us/tile measured, the single dominant per-tile cost in
         # the r3 ablation) — max over j-tiles commutes with max within
         # a tile, so it runs once per ROW tile instead of every tile.
-        acc_scr[:] = jnp.maximum(acc_scr[:],
-                                 _masked_relu(spec, neighbor, pre2))
+        # The h2 relu + neighbor mask fuse INTO the max (_acc_max).
+        acc_scr[:] = _acc_max(spec, neighbor, pre2, acc_scr[:])
 
     @pl.when(j == nj - 1)
     def _():
@@ -591,8 +647,11 @@ def _bwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
     def _():
         accg_scr[:] = jnp.zeros(accg_scr.shape, jnp.float32)
         a_scr[:] = _lane_expand(aT8_ref[0, 0], tj).astype(a_scr.dtype)
-        m_scr[:] = _lane_expand(m_ref[0, 0], tj)
-        dm_scr[:] = _lane_expand(dm_ref[0, 0], tj)
+        m_row = _lane_expand(m_ref[0, 0], tj)
+        m_scr[:] = m_row
+        # dm gated by m > 0 once per row tile (_win_grad's hoisted half)
+        dm_scr[:] = jnp.where(m_row > 0.0,
+                              _lane_expand(dm_ref[0, 0], tj), 0.0)
         for c in range(spec.ci):
             ci_scr[c] = _lane_expand(colsI_ref[0, 0, c], tj)
 
@@ -614,15 +673,10 @@ def _bwd_kernel(flags_ref, colsI_ref, colsJ_ref, aT8_ref, bT8_ref,
         h1, pre2 = _pair_mlp(spec, g8b, a_scr[:],
                              wgT8_ref, w2T8_ref, b28_ref)
         # Win mask: exact equality vs the streamed max (see v1 module
-        # docstring for the tie-divergence note). masked already folds
-        # the neighbor mask and the h2 relu: masked == m > 0 iff this
-        # pair is an eligible winner, and masked > 0 subsumes the dpre2
-        # relu gate (relu' at h2 == 0). The f32 cast is exact for bf16,
-        # so the equality matches the forward regardless of
-        # elementwise_dtype (m is stored f32).
-        masked = _masked_relu(spec, neighbor, pre2).astype(jnp.float32)
-        dpre2 = jnp.where((masked == m_scr[:]) & (masked > 0.0),
-                          dm_scr[:], 0.0)
+        # docstring for the tie-divergence note); the neighbor mask,
+        # the h2 relu gate and the m > 0 gate all fold into _win_grad
+        # (dm_scr arrives pre-gated by m > 0 from the j == 0 hoist).
+        dpre2 = _win_grad(spec, neighbor, pre2, m_scr[:], dm_scr[:])
         # w28 is s-major block-diagonal like w2T8 (W2 transposed per
         # block): only the diagonal MXU quadrants multiply.
         dh1 = _blockdiag_dot(spec, w28_ref, dpre2, mm, prec)
