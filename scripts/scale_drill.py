@@ -40,7 +40,7 @@ CAT_IDS = [1] + [i for i in range(2, 91) if i not in
                  (12, 26, 29, 30, 45, 66, 68, 69, 71, 83)][:79]
 
 
-def gen(n_images=N_IMAGES, seed=0):
+def gen(n_images=N_IMAGES, seed=0, prefix=""):
     DATA.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
     cat_p = np.full(len(CAT_IDS), 0.7 / (len(CAT_IDS) - 1))
@@ -92,10 +92,10 @@ def gen(n_images=N_IMAGES, seed=0):
         "categories": [{"id": c, "name": f"cat_{c}" if c != 1 else "person",
                         "supercategory": "drill"} for c in CAT_IDS],
     }
-    (DATA / "annotations.json").write_text(json.dumps(ann))
-    (DATA / "detections.json").write_text(json.dumps(detections))
+    (DATA / f"{prefix}annotations.json").write_text(json.dumps(ann))
+    (DATA / f"{prefix}detections.json").write_text(json.dumps(detections))
     print(f"gen: {n_images} images, {len(annotations)} anns, "
-          f"{len(detections)} dets -> {DATA}", flush=True)
+          f"{len(detections)} dets -> {DATA}/{prefix}*", flush=True)
 
 
 def _yaml(name: str, text: str) -> str:
@@ -184,6 +184,53 @@ def run(train_steps=300):
     print(json.dumps(out), flush=True)
 
 
+def full(train_steps=3000, lr=1e-3, schedule="constant", tag="full"):
+    """Full-budget config-2 training on the drill dataset (round 3).
+
+    The 300-step OAT calibration (PARITY.md) left two open questions:
+    does LR 1e-3 still dominate at full budget, and were the decaying
+    schedules' losses a short-horizon artifact? This runs config-2
+    (persons, 16 blocks) for ``train_steps`` with a held-out val split
+    (600 images, seed 1) driving periodic val-AP eval + best-AP
+    checkpointing through the REAL train CLI path, then evaluates the
+    best checkpoint on the 5k train-distribution images with the
+    swept-GreedyNMS baseline. One JSON line per phase -> RESULTS.md.
+    """
+    if not (DATA / "annotations.json").exists():
+        gen()
+    if not (DATA / "val_annotations.json").exists():
+        gen(n_images=600, seed=1, prefix="val_")
+    ann = str(DATA / "annotations.json")
+    det = str(DATA / "detections.json")
+    ck = DATA / f"ck_{tag}"
+    y = _yaml(f"cfg_{tag}.yaml", (
+        "model: {num_blocks: 16, feature_dim: 128, reduced_dim: 32, "
+        "pairwise_dim: 32, num_classes: 1}\n"
+        "matching: {thresholds: [0.5], crowd_as_ignore: true}\n"
+        f"data:\n  dataset: coco\n  ann_file: {ann}\n  det_file: {det}\n"
+        f"  val_ann_file: {DATA / 'val_annotations.json'}\n"
+        f"  val_det_file: {DATA / 'val_detections.json'}\n"
+        "  max_detections: 1024\n  bucket_sizes: [256, 512, 1024]\n"
+        "  person_only: true\n"
+        f"train: {{optimizer: adam, learning_rate: {lr}, "
+        f"lr_schedule: {schedule}, "
+        f"max_steps: {train_steps}, batch_size: 8, grad_clip_norm: 10.0, "
+        "snapshot_every: 1000, eval_every: 500, log_every: 100, "
+        f"checkpoint_dir: {ck}}}\n"
+    ))
+    py = sys.executable
+    out = {
+        f"{tag}_train": _run_phase(
+            f"{tag} train ({train_steps} steps, lr={lr}, {schedule})",
+            [py, "-m", "gossipnet_tpu.train", "-c", y,
+             "--metrics", str(DATA / f"m_{tag}.jsonl")]),
+        f"{tag}_eval_5k": _run_phase(
+            f"{tag} eval (best ckpt, 5k images, swept-NMS baseline)",
+            [py, "-m", "gossipnet_tpu.evaluate", "-c", y, "--nms-sweep"]),
+    }
+    print(json.dumps(out), flush=True)
+
+
 def eval5k():
     """numpy-fallback COCOEvaluator over the full 5k drill images."""
     from gossipnet_tpu.data.roidb import build_roidb
@@ -214,3 +261,10 @@ if __name__ == "__main__":
         eval5k()
     if what in ("run", "all"):
         run()
+    if what == "full":
+        # full [steps] [lr] [schedule] [tag]
+        a = sys.argv[2:]
+        full(train_steps=int(a[0]) if a else 3000,
+             lr=float(a[1]) if len(a) > 1 else 1e-3,
+             schedule=a[2] if len(a) > 2 else "constant",
+             tag=a[3] if len(a) > 3 else "full")
