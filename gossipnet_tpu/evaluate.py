@@ -9,6 +9,7 @@ scores (no suppression) and tuned GreedyNMS.
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Sequence
 
 import jax
@@ -195,6 +196,10 @@ def main(argv=None) -> None:
                    help="override cfg.train.checkpoint_dir")
     p.add_argument("--nms-sweep", action="store_true",
                    help="sweep GreedyNMS thresholds for the tuned baseline")
+    p.add_argument("--best", action="store_true",
+                   help="evaluate the best-val-AP checkpoint (what "
+                        "serving loads by default) instead of the "
+                        "latest periodic snapshot")
     p.add_argument("--pool-impl", default=None)
     p.add_argument("--artifact", default=None,
                    help="evaluate an exported AOT serving artifact "
@@ -261,7 +266,19 @@ def main(argv=None) -> None:
         state = create_train_state(cfg, model, next(it))
         ckpt_dir = args.checkpoint_dir or cfg.train.checkpoint_dir
         ckpt = CheckpointManager(ckpt_dir)
-        if ckpt.latest_step() is not None:
+        best_dir = Path(ckpt_dir) / "best"
+        if args.best and best_dir.exists():
+            import orbax.checkpoint as ocp
+
+            state = ocp.StandardCheckpointer().restore(
+                best_dir.absolute(), state)
+            print(f"restored best-AP checkpoint (step {int(state.step)}) "
+                  f"from {best_dir}")
+        elif args.best:
+            raise SystemExit(f"--best: no best checkpoint in {ckpt_dir} "
+                             "(training saves one when a val split is "
+                             "configured)")
+        elif ckpt.latest_step() is not None:
             state, _ = ckpt.restore(state)
             print(f"restored step {int(state.step)} from {ckpt_dir}")
         else:
