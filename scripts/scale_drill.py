@@ -184,7 +184,8 @@ def run(train_steps=300):
     print(json.dumps(out), flush=True)
 
 
-def full(train_steps=3000, lr=1e-3, schedule="constant", tag="full"):
+def full(train_steps=3000, lr=1e-3, schedule="constant", tag="full",
+         multiclass=False):
     """Full-budget config-2 training on the drill dataset (round 3).
 
     The 300-step OAT calibration (PARITY.md) left two open questions:
@@ -203,15 +204,20 @@ def full(train_steps=3000, lr=1e-3, schedule="constant", tag="full"):
     ann = str(DATA / "annotations.json")
     det = str(DATA / "detections.json")
     ck = DATA / f"ck_{tag}"
+    model = ("model: {num_blocks: 16, feature_dim: 128, reduced_dim: 32, "
+             "pairwise_dim: 32, num_classes: 80, class_embed_dim: 32}\n"
+             "matching: {thresholds: [0.5], class_aware: true, "
+             "crowd_as_ignore: true}\n" if multiclass else
+             "model: {num_blocks: 16, feature_dim: 128, reduced_dim: 32, "
+             "pairwise_dim: 32, num_classes: 1}\n"
+             "matching: {thresholds: [0.5], crowd_as_ignore: true}\n")
     y = _yaml(f"cfg_{tag}.yaml", (
-        "model: {num_blocks: 16, feature_dim: 128, reduced_dim: 32, "
-        "pairwise_dim: 32, num_classes: 1}\n"
-        "matching: {thresholds: [0.5], crowd_as_ignore: true}\n"
-        f"data:\n  dataset: coco\n  ann_file: {ann}\n  det_file: {det}\n"
+        model
+        + f"data:\n  dataset: coco\n  ann_file: {ann}\n  det_file: {det}\n"
         f"  val_ann_file: {DATA / 'val_annotations.json'}\n"
         f"  val_det_file: {DATA / 'val_detections.json'}\n"
         "  max_detections: 1024\n  bucket_sizes: [256, 512, 1024]\n"
-        "  person_only: true\n"
+        f"  person_only: {'false' if multiclass else 'true'}\n"
         f"train: {{optimizer: adam, learning_rate: {lr}, "
         f"lr_schedule: {schedule}, "
         f"max_steps: {train_steps}, batch_size: 8, grad_clip_norm: 10.0, "
@@ -261,10 +267,12 @@ if __name__ == "__main__":
         eval5k()
     if what in ("run", "all"):
         run()
-    if what == "full":
-        # full [steps] [lr] [schedule] [tag]
+    if what in ("full", "full80"):
+        # full[80] [steps] [lr] [schedule] [tag]
         a = sys.argv[2:]
         full(train_steps=int(a[0]) if a else 3000,
              lr=float(a[1]) if len(a) > 1 else 1e-3,
              schedule=a[2] if len(a) > 2 else "constant",
-             tag=a[3] if len(a) > 3 else "full")
+             tag=a[3] if len(a) > 3 else
+             ("full80" if what == "full80" else "full"),
+             multiclass=what == "full80")
