@@ -237,6 +237,101 @@ def full(train_steps=3000, lr=1e-3, schedule="constant", tag="full",
     print(json.dumps(out), flush=True)
 
 
+def gen_pets(n_frames=800, seed=0, prefix=""):
+    """Real-format PETS files: CVML XML ground truth (0-based frames,
+    center-form boxes — the PETS2009 distribution schema) + MOT-style
+    CSV detections (1-based frames, top-left boxes), deliberately
+    exercising data/pets.py's frame-base auto-realignment. Crowd
+    statistics follow the PETS surveillance regime: 768x576 frames,
+    15-55 pedestrians partly in occluding rows, 4-9 jittered
+    detections per person with scores uncorrelated with localization
+    quality, plus background false positives."""
+    DATA.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    W, H = 768, 576
+    xml = ['<dataset name="drill_pets">']
+    csv = []
+    for fr in range(n_frames):
+        xml.append(f'  <frame number="{fr}">\n    <objectlist>')
+        n_people = int(rng.integers(15, 56))
+        placed = 0
+        oid = 0
+        while placed < n_people:
+            # occlusion row: 2-6 people shoulder-to-shoulder
+            row = min(int(rng.integers(2, 7)), n_people - placed)
+            w = float(rng.uniform(24, 44))
+            h = float(rng.uniform(58, 112))
+            xc = float(rng.uniform(w, W - row * 0.55 * w - w))
+            yc = float(rng.uniform(h / 2 + 2, H - h / 2 - 2))
+            for k in range(row):
+                cx = xc + k * 0.55 * w   # ~0.45 width overlap
+                cy = yc + float(rng.normal(0, 2.5))
+                xml.append(f'      <object id="{oid}">\n        '
+                           f'<box xc="{cx:.1f}" yc="{cy:.1f}" '
+                           f'w="{w:.1f}" h="{h:.1f}"/>\n      </object>')
+                oid += 1
+                for _ in range(int(rng.integers(4, 10))):
+                    jit = rng.normal(0, 0.1 * w, size=4)
+                    bw = max(w + jit[2], 6.0)
+                    bh = max(h + jit[3], 12.0)
+                    x = cx - w / 2 + jit[0]
+                    y = cy - h / 2 + jit[1]
+                    s = float(np.clip(rng.normal(0.55, 0.22), 0.01, 0.999))
+                    csv.append(f"{fr + 1},-1,{x:.1f},{y:.1f},"
+                               f"{bw:.1f},{bh:.1f},{s:.3f}")
+            placed += row
+        for _ in range(int(rng.integers(5, 20))):   # background FPs
+            w = float(rng.uniform(18, 70)); h = float(rng.uniform(30, 130))
+            x = float(rng.uniform(0, W - w)); y = float(rng.uniform(0, H - h))
+            s = float(np.clip(rng.normal(0.35, 0.2), 0.01, 0.999))
+            csv.append(f"{fr + 1},-1,{x:.1f},{y:.1f},{w:.1f},{h:.1f},{s:.3f}")
+        xml.append("    </objectlist>\n  </frame>")
+    xml.append("</dataset>")
+    (DATA / f"{prefix}pets_gt.xml").write_text("\n".join(xml))
+    (DATA / f"{prefix}pets_dets.csv").write_text("\n".join(csv) + "\n")
+    print(f"gen_pets: {n_frames} frames, {len(csv)} det rows -> "
+          f"{DATA}/{prefix}pets_*", flush=True)
+
+
+def full_pets(train_steps=3000, lr=1e-3, schedule="cosine", tag="pets"):
+    """Full-budget PETS-family run through the real-format loaders:
+    CVML GT + MOT CSV dets via ``dataset: pets`` in both CLIs, val
+    split on held-out frames, best-AP checkpointing, swept-NMS
+    baseline — the crowd-benchmark analog of full()."""
+    if not (DATA / "pets_gt.xml").exists():
+        gen_pets()
+    if not (DATA / "val_pets_gt.xml").exists():
+        gen_pets(n_frames=200, seed=1, prefix="val_")
+    ck = DATA / f"ck_{tag}"
+    y = _yaml(f"cfg_{tag}.yaml", (
+        "model: {num_blocks: 16, feature_dim: 128, reduced_dim: 32, "
+        "pairwise_dim: 32, num_classes: 1}\n"
+        "matching: {thresholds: [0.5]}\n"
+        f"data:\n  dataset: pets\n  ann_file: {DATA / 'pets_gt.xml'}\n"
+        f"  det_file: {DATA / 'pets_dets.csv'}\n"
+        f"  val_ann_file: {DATA / 'val_pets_gt.xml'}\n"
+        f"  val_det_file: {DATA / 'val_pets_dets.csv'}\n"
+        "  max_detections: 1024\n  bucket_sizes: [256, 512, 1024]\n"
+        f"train: {{optimizer: adam, learning_rate: {lr}, "
+        f"lr_schedule: {schedule}, "
+        f"max_steps: {train_steps}, batch_size: 8, grad_clip_norm: 10.0, "
+        "snapshot_every: 1000, eval_every: 500, log_every: 100, "
+        f"checkpoint_dir: {ck}}}\n"
+    ))
+    py = sys.executable
+    out = {
+        f"{tag}_train": _run_phase(
+            f"{tag} train ({train_steps} steps, lr={lr}, {schedule})",
+            [py, "-m", "gossipnet_tpu.train", "-c", y,
+             "--metrics", str(DATA / f"m_{tag}.jsonl")]),
+        f"{tag}_eval": _run_phase(
+            f"{tag} eval (best ckpt, 800 frames, swept-NMS baseline)",
+            [py, "-m", "gossipnet_tpu.evaluate", "-c", y,
+             "--best", "--nms-sweep"]),
+    }
+    print(json.dumps(out), flush=True)
+
+
 def eval5k():
     """numpy-fallback COCOEvaluator over the full 5k drill images."""
     from gossipnet_tpu.data.roidb import build_roidb
@@ -276,3 +371,8 @@ if __name__ == "__main__":
              tag=a[3] if len(a) > 3 else
              ("full80" if what == "full80" else "full"),
              multiclass=what == "full80")
+    if what == "pets":
+        a = sys.argv[2:]
+        full_pets(train_steps=int(a[0]) if a else 3000,
+                  lr=float(a[1]) if len(a) > 1 else 1e-3,
+                  schedule=a[2] if len(a) > 2 else "cosine")
