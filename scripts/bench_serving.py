@@ -41,6 +41,61 @@ params = model.init(jax.random.key(0),
                     jnp.ones((1, len(s0)), bool))["params"]
 rescorer = Rescorer(cfg, params, pool_impl="pallas")
 
+
+def soak(minutes: float, n_clients: int = 4):
+    """Long-haul stability: run the TCP server under sustained client
+    load in repeated waves, sampling the stats probe and the server
+    process RSS each wave. Production evidence the latency rows can't
+    give: no RSS creep (leaked handles / growing queues), no error or
+    shed accumulation, stable p50 across waves. Exits nonzero on
+    drift. Usage: bench_serving.py --soak MINUTES [CLIENTS]."""
+    import resource
+    import subprocess
+    import sys as _sys
+
+    from gossipnet_tpu.serving import TcpServer
+
+    client = pathlib.Path(__file__).resolve().parent / "_tcp_bench_client.py"
+    server = TcpServer(rescorer, port=0, threshold=0.5,
+                       batch_size=8, window_ms=10.0).start()
+    deadline = time.monotonic() + minutes * 60
+    waves = []
+    rss0 = None
+    while time.monotonic() < deadline:
+        procs = [subprocess.Popen(
+            [_sys.executable, str(client), str(server.port), str(c), "48"],
+            stdout=subprocess.PIPE, text=True) for c in range(n_clients)]
+        reports = [json.loads(p.communicate()[0]) for p in procs]
+        lats = sorted(l for r in reports for l in r["lats"])
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        rss0 = rss0 or rss
+        w = {"wave": len(waves) + 1,
+             "p50_ms": round(lats[len(lats) // 2] * 1e3, 1),
+             "rss_gb": round(rss, 3), **server.stats_snapshot()}
+        w.pop("buckets", None)
+        waves.append(w)
+        print(json.dumps(w), flush=True)
+    server.stop()
+    n = len(waves)
+    ok = (waves[-1]["errors"] == 0 and waves[-1]["shed"] == 0
+          and waves[-1]["rss_gb"] - rss0 < 0.25
+          and waves[-1]["images"] == 48 * n_clients * n)
+    print(json.dumps({
+        "metric": f"serving soak ({minutes} min, {n_clients} clients)",
+        "waves": n, "images": waves[-1]["images"],
+        "p50_ms_first_to_last": [waves[0]["p50_ms"], waves[-1]["p50_ms"]],
+        "rss_gb_first_to_last": [waves[0]["rss_gb"], waves[-1]["rss_gb"]],
+        "errors": waves[-1]["errors"], "shed": waves[-1]["shed"],
+        "ok": ok,
+    }), flush=True)
+    raise SystemExit(0 if ok else 1)
+
+
+if "--soak" in sys.argv:
+    i = sys.argv.index("--soak")
+    soak(float(sys.argv[i + 1]),
+         int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 4)
+
 # warm every reachable (batch, bucket) shape: latency percentiles below
 # must measure steady state, not JIT compiles (p99 was 6.5 s without)
 rescorer.warmup(8)
