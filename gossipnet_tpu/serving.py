@@ -174,13 +174,30 @@ class TcpServer:
                  batch_size: int = 8, window_ms: float = 10.0,
                  min_window_ms: float = 0.2, window_frac: float = 0.5,
                  pipeline_depth: int = 2,
-                 max_queue_ms: float | None = None):
+                 max_queue_ms: float | None = None,
+                 det_budget: int | None = None,
+                 max_bucket_batch: int = 64):
         """``max_queue_ms``: LOAD SHEDDING bound — a request that has
         waited longer than this in an open group (device saturated)
         gets an {"id", "error": "overloaded..."} reply instead of
         service, bounding queueing latency under overload (the measured
         16-client saturation p99 is queue wait, BENCHMARKS.md). None
-        (default) = never shed, requests queue indefinitely."""
+        (default) = never shed, requests queue indefinitely.
+
+        PER-BUCKET BATCH SIZING: the device saturates at a roughly
+        constant number of DETECTIONS per dispatch, not images — the
+        measured batch sweep (BENCHMARKS.md) has N=1024 saturated at
+        B=8 while N=256 keeps gaining through B=64 (+22%), because a
+        small bucket's grid underfills the Pallas pipeline at the same
+        image count. Each bucket's cap is therefore a detection budget:
+        ``batch_for(n) = clamp(det_budget // n, batch_size,
+        max_bucket_batch)`` with ``det_budget`` defaulting to
+        ``batch_size * max(bucket_sizes)`` — identical behavior for the
+        largest bucket, proportionally larger coalescing for small
+        ones. Groups only grow past ``batch_size`` while every device
+        slot is busy (busy-aware batching), so low-load latency is
+        unchanged; the cap matters exactly when the device is the
+        bottleneck."""
         import socket
 
         self.rescorer = rescorer
@@ -191,6 +208,16 @@ class TcpServer:
         if max_b is not None:
             batch_size = min(batch_size, max_b)
         self.batch_size = batch_size
+        buckets = tuple(rescorer.cfg.data.bucket_sizes)
+        budget = (int(det_budget) if det_budget is not None
+                  else batch_size * max(buckets))
+        cap_for = getattr(rescorer, "max_batch_for", None)
+        self._batch_for = {}
+        for n in buckets:
+            b = min(max(batch_size, budget // n), max_bucket_batch)
+            if cap_for is not None:
+                b = min(b, max(cap_for(n), 1))
+            self._batch_for[n] = b
         self.max_window_s = window_ms / 1e3
         self.min_window_s = min(min_window_ms / 1e3, self.max_window_s)
         self.window_frac = window_frac
@@ -232,7 +259,9 @@ class TcpServer:
             "mean_batch": round(images / batches, 3) if batches else None,
             "buckets": {
                 str(b): {"service_ema_ms": round(ema * 1e3, 2),
-                         "window_ms": round(self._window_s(b) * 1e3, 2)}
+                         "window_ms": round(self._window_s(b) * 1e3, 2),
+                         "max_batch": self._batch_for.get(
+                             b, self.batch_size)}
                 for b, ema in sorted(self._service_ema.items())},
             "batch_size": self.batch_size,
             "pipeline_depth": self.pipeline_depth,
@@ -282,6 +311,7 @@ class TcpServer:
             now = time.monotonic()
             blocked = False   # a ready group is waiting on a slot
             for b in sorted(pending, key=lambda b: pending[b][0]):
+                cap = self._batch_for.get(b, self.batch_size)
                 while b in pending:
                     deadline, items = pending[b]
                     if self.max_queue_s is not None:
@@ -297,13 +327,13 @@ class TcpServer:
                                 break
                             pending[b][1] = items = live
                     if not (stopping or deadline <= now
-                            or len(items) >= self.batch_size):
+                            or len(items) >= cap):
                         break
                     if not self._slots.acquire(blocking=False):
                         blocked = True
                         break
-                    take = items[:self.batch_size]
-                    rest = items[self.batch_size:]
+                    take = items[:cap]
+                    rest = items[cap:]
                     if rest:
                         pending[b] = [
                             time.monotonic() + self._window_s(b), rest]
@@ -458,13 +488,27 @@ class TcpServer:
         # Pre-compile every reachable (batch, bucket) shape so no
         # client request pays JIT latency (cold-start SLO), and seed
         # each bucket's service-time EMA from a timed full-batch run.
-        self.rescorer.warmup(self.batch_size)
+        # Batches pad to powers of two (api.py _dispatch), and each
+        # bucket's reachable set runs up to ITS batch cap (per-bucket
+        # batch sizing — see __init__).
         for n in self.rescorer.cfg.data.bucket_sizes:
+            cap = self._batch_for.get(n, self.batch_size)
+            pads = sorted({1 << max(x - 1, 0).bit_length()
+                           for x in range(1, cap + 1)})
+            for b in pads:
+                self.rescorer._run(np.zeros((b, n, 4), np.float32),
+                                   np.zeros((b, n), np.float32),
+                                   np.zeros((b, n), bool),
+                                   np.zeros((b, n), np.int32))
+            # Seed the EMA from a second, WARM cap-sized run (the first
+            # paid its JIT compile; timing that would pin the window at
+            # max_window_ms until real traffic corrected it).
+            b = pads[-1]
             t0 = time.monotonic()
-            self.rescorer._run(np.zeros((self.batch_size, n, 4), np.float32),
-                               np.zeros((self.batch_size, n), np.float32),
-                               np.zeros((self.batch_size, n), bool),
-                               np.zeros((self.batch_size, n), np.int32))
+            self.rescorer._run(np.zeros((b, n, 4), np.float32),
+                               np.zeros((b, n), np.float32),
+                               np.zeros((b, n), bool),
+                               np.zeros((b, n), np.int32))
             self._service_ema[n] = time.monotonic() - t0
         self._queue = queue.Queue()
         self._inflight = queue.Queue()
@@ -589,6 +633,12 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=8,
                    help="TCP mode max micro-batch (clamped to an "
                         "artifact's max exported batch)")
+    p.add_argument("--det-budget", type=int, default=None,
+                   help="TCP mode per-bucket batch sizing: each bucket "
+                        "n batches up to det_budget/n images (small "
+                        "buckets saturate the chip at larger batches — "
+                        "BENCHMARKS.md batch sweep). Default: "
+                        "batch_size * largest bucket")
     p.add_argument("--max-queue-ms", type=float, default=None,
                    help="TCP mode load-shedding bound: requests queued "
                         "longer than this under overload get an "
@@ -603,7 +653,8 @@ def main(argv=None):
         server = TcpServer(rescorer, host=args.host, port=args.tcp,
                            threshold=args.threshold,
                            batch_size=args.batch_size,
-                           max_queue_ms=args.max_queue_ms).start()
+                           max_queue_ms=args.max_queue_ms,
+                           det_budget=args.det_budget).start()
         print(f"serving on {args.host}:{server.port}", file=sys.stderr,
               flush=True)
         done = threading.Event()

@@ -167,6 +167,12 @@ class ArtifactRescorer(Rescorer):
                 f"batch_size or re-export with larger batch_sizes")
         return fits[0]
 
+    def max_batch_for(self, n: int) -> int:
+        """Largest exported batch for bucket ``n`` (0 if none) — the
+        TcpServer's per-bucket batch policy clamps to this so grouping
+        never exceeds what the artifact can dispatch."""
+        return max((b for b, nn in self._exported if nn == n), default=0)
+
     def _fn(self, b: int, n: int):
         key = (b, n)
         exp = self._exported.get(key)

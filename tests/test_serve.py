@@ -520,3 +520,85 @@ def test_tcp_server_load_shedding():
     assert shed >= 1, "saturated queue must shed"
     assert served >= 1, "the in-flight batch must still be served"
     assert server.stats["shed"] == shed
+
+
+def test_tcp_server_per_bucket_batch_policy():
+    """Per-bucket batch sizing: the batch cap is a detection budget
+    (batch_size * largest bucket by default), so small buckets coalesce
+    to proportionally larger batches — the measured batch sweep
+    (BENCHMARKS.md) shows small-N buckets saturate the chip only at
+    much larger image counts. The largest bucket's cap must equal
+    batch_size (unchanged default behavior)."""
+    serve_mod, rescorer = _tcp_fixture(bucket_sizes=(8, 16, 32))
+    server = serve_mod.TcpServer(rescorer, port=0, threshold=0.0,
+                                 batch_size=4, window_ms=2.0)
+    try:
+        # budget = 4 * 32 = 128 -> caps 8:16(cap via max_bucket_batch
+        # not hit), 16:8, 32:4
+        assert server._batch_for == {8: 16, 16: 8, 32: 4}
+        # explicit budget + global cap
+        server2 = serve_mod.TcpServer(rescorer, port=0, threshold=0.0,
+                                      batch_size=2, det_budget=256,
+                                      max_bucket_batch=16)
+        assert server2._batch_for == {8: 16, 16: 16, 32: 8}
+        server2.sock.close()
+    finally:
+        server.sock.close()
+
+
+def test_tcp_server_small_bucket_coalesces_past_batch_size():
+    """Under a busy device, a small bucket's open group grows past
+    batch_size up to its per-bucket cap and dispatches as ONE batch
+    (the whole point of the detection-budget policy)."""
+    import json as _json
+    import socket
+    import time as _time
+
+    serve_mod, rescorer = _tcp_fixture(bucket_sizes=(8, 32))
+
+    class SlowBatch:
+        def __init__(self, handle, delay):
+            self._handle, self._delay = handle, delay
+
+        def wait(self):
+            _time.sleep(self._delay)
+            return self._handle.wait()
+
+    class SlowRescorer:
+        def __init__(self, inner, delay):
+            self._inner, self._delay = inner, delay
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def rescore_async(self, images, padded_n=None, truncate=False):
+            h = self._inner.rescore_async(images, padded_n=padded_n,
+                                          truncate=truncate)
+            return SlowBatch(h, self._delay)
+
+    # batch_size=2, buckets (8, 32) -> bucket-8 cap = 2*32/8 = 8
+    server = serve_mod.TcpServer(
+        SlowRescorer(rescorer, 0.15), port=0, threshold=0.0,
+        batch_size=2, window_ms=1.0, pipeline_depth=1).start()
+    assert server._batch_for[8] == 8
+    rng = np.random.default_rng(7)
+    try:
+        with socket.create_connection(("127.0.0.1", server.port)) as s:
+            f = s.makefile("r")
+            # 10 small requests back to back: 1-2 dispatch before the
+            # slot fills; the rest coalesce under the busy slot. With
+            # the old global batch_size=2 cap this took >= 5 batches;
+            # with cap 8 it takes <= 4.
+            for k in range(10):
+                s.sendall((_json.dumps(_req(rng, 5, k)) + "\n").encode())
+            got = {}
+            for _ in range(10):
+                resp = _json.loads(f.readline())
+                assert "error" not in resp, resp
+                got[resp["id"]] = resp
+        assert len(got) == 10
+        assert server.stats["images"] == 10
+        assert server.stats["batches"] <= 4, server.stats
+        assert server.stats_snapshot()["buckets"]["8"]["max_batch"] == 8
+    finally:
+        server.stop()
