@@ -19,7 +19,10 @@ stdout, double-buffered through ``Rescorer.rescore_stream``::
 
 TCP mode (``--tcp PORT``) — any number of concurrent clients, same
 JSON-lines protocol per connection, per-bucket adaptive micro-batching
-(:class:`TcpServer`).
+(:class:`TcpServer`). Connections may instead speak the BINARY frame
+protocol (auto-detected per connection from the first byte — see
+``TcpServer`` docs): raw little-endian float32 arrays, ~10x cheaper to
+serialize than JSON on both ends, for throughput-critical clients.
 
 COCO-results file mode (``--input``) — rescore a standard COCO
 detection-results JSON in one call, write the same format back.
@@ -38,6 +41,41 @@ from gossipnet_tpu.api import Rescorer
 from gossipnet_tpu.config import load_config
 
 __all__ = ["TcpServer", "serve_stream", "serve_file", "main"]
+
+# --- binary frame protocol (TcpServer; auto-detected per connection) ---
+# All integers little-endian. Request frame:
+#   u32 magic = 0x544E4E47 (b"GNNT")
+#   u64 request id (echoed back; numeric-only in this protocol)
+#   u32 n           detection count
+#   u32 flags       bit 0: classes present
+#   n*4 f32         boxes, xyxy row-major [n, 4]
+#   n   f32         scores
+#   [n  i32         classes]        iff flags & 1
+# Reply frame:
+#   u32 magic, u8 status (0 = ok, 1 = error), u64 id
+#   ok:    u32 n, n f32 new_scores, u32 k, k i32 keep
+#   error: u32 len, len bytes utf-8 message
+# Rationale: JSON encode/decode of ~800-float arrays costs ~ms per
+# message per side; at saturation the serving host spends more CPU on
+# text than the chip spends on the model. The binary path is a
+# np.frombuffer/tobytes round trip (~10x cheaper), and scores come back
+# as exact f32 (the JSON path rounds to 6 decimals).
+BIN_MAGIC = 0x544E4E47
+_BIN_REQ_HEADER = 4 + 8 + 4 + 4
+
+
+def _recv_exact(sock, n: int) -> bytes | None:
+    """Read exactly n bytes or None on EOF/reset mid-frame."""
+    buf = bytearray()
+    while len(buf) < n:
+        try:
+            chunk = sock.recv(n - len(buf))
+        except OSError:
+            return None
+        if not chunk:
+            return None
+        buf.extend(chunk)
+    return bytes(buf)
 
 
 def _build(args) -> Rescorer:
@@ -132,6 +170,13 @@ class TcpServer:
     (bad JSON, more detections than the largest bucket, multiclass
     config without class ids) get an {"id", "error"} reply on the same
     connection — they never reach the device and never kill the server.
+
+    A connection whose first byte is not '{' speaks the BINARY frame
+    protocol instead (spec at module top, BIN_MAGIC): raw little-endian
+    f32/i32 arrays both ways, ~10x cheaper to serialize than JSON and
+    bit-exact scores (no decimal rounding). Both protocols share the
+    same batcher, buckets, and device path and may be mixed across
+    connections.
 
     Three pipelined stages, so host packing of batch k+1 overlaps
     device compute of batch k (JAX dispatch is asynchronous):
@@ -268,6 +313,21 @@ class TcpServer:
         }
 
     def _reply(self, client, lock, req, new_scores):
+        if req.get("_bin"):
+            import struct
+
+            ns = np.asarray(new_scores, "<f4")
+            keep = np.nonzero(ns > self.threshold)[0].astype("<i4")
+            payload = (struct.pack("<IBQI", BIN_MAGIC, 0,
+                                   int(req["id"]), len(ns))
+                       + ns.tobytes()
+                       + struct.pack("<I", len(keep)) + keep.tobytes())
+            with lock:
+                try:
+                    client.sendall(payload)
+                except OSError:
+                    pass
+            return
         keep = np.nonzero(new_scores > self.threshold)[0]
         # np.round(...).tolist() serializes at C speed; a per-score
         # Python round() loop costs ~1 ms per 800-det reply on the
@@ -283,6 +343,25 @@ class TcpServer:
                 client.sendall(line.encode())
             except OSError:
                 pass   # client went away; drop the response
+
+    def _send_err(self, client, lock, req, msg: str):
+        """Error reply in the connection's own protocol."""
+        if isinstance(req, dict) and req.get("_bin"):
+            import struct
+
+            data = msg.encode()[:200]
+            payload = (struct.pack("<IBQI", BIN_MAGIC, 1,
+                                   int(req.get("id") or 0), len(data))
+                       + data)
+        else:
+            rid = req.get("id") if isinstance(req, dict) else None
+            payload = (json.dumps({"id": rid, "error": msg[:200]})
+                       + "\n").encode()
+        with lock:
+            try:
+                client.sendall(payload)
+            except OSError:
+                pass
 
     def _window_s(self, bucket: int) -> float:
         ema = self._service_ema.get(bucket)
@@ -404,15 +483,9 @@ class TcpServer:
             if entry[0] is self._SHED:
                 _, item, waited_s, _ = entry
                 client, lock, req = item[0], item[1], item[2]
-                with lock:
-                    try:
-                        client.sendall((json.dumps({
-                            "id": req.get("id"),
-                            "error": "overloaded: queued "
-                                     f"{waited_s * 1e3:.0f} ms "
-                                     "> max_queue_ms"}) + "\n").encode())
-                    except OSError:
-                        pass
+                self._send_err(client, lock, req,
+                               f"overloaded: queued {waited_s * 1e3:.0f} "
+                               "ms > max_queue_ms")
                 continue
             handle, group, bucket, t0 = entry
             results = handle.wait()
@@ -431,10 +504,22 @@ class TcpServer:
                 self._reply(client, lock, req, new_scores)
 
     def _client_loop(self, client):
+        import socket
         import threading
         import time
 
         lock = threading.Lock()
+        # Protocol auto-detect: a JSON-lines connection's first byte is
+        # '{' (or leading whitespace); anything else is a binary frame
+        # (BIN_MAGIC's first LE byte is 'G').
+        try:
+            first = client.recv(1, socket.MSG_PEEK)
+        except OSError:
+            client.close()
+            return
+        if first and first not in b"{ \t\r\n":
+            self._client_loop_bin(client, lock)
+            return
         with client, client.makefile("r", encoding="utf-8") as f:
             for line in f:
                 line = line.strip()
@@ -456,16 +541,58 @@ class TcpServer:
                     image = self._parse(req)
                 except (ValueError, KeyError, TypeError) as e:
                     self.stats["errors"] += 1
-                    rid = req.get("id") if isinstance(req, dict) else None
-                    with lock:
-                        try:
-                            client.sendall((json.dumps(
-                                {"id": rid, "error": str(e)[:200]})
-                                + "\n").encode())
-                        except OSError:
-                            return
+                    self._send_err(client, lock, req, str(e))
                     continue
                 self._queue.put((client, lock, req, image,
+                                 time.monotonic()))
+
+    def _client_loop_bin(self, client, lock):
+        """Reader loop for a binary-protocol connection (module-level
+        frame spec). Validation mirrors the JSON path; a bad magic means
+        framing is lost, so the connection is dropped after one error
+        frame rather than resynchronized."""
+        import struct
+        import time
+
+        n_cap = 4 * max(self.rescorer.cfg.data.bucket_sizes) + 65536
+        with client:
+            while True:
+                head = _recv_exact(client, _BIN_REQ_HEADER)
+                if head is None:
+                    return
+                magic, rid, n, flags = struct.unpack("<IQII", head)
+                req = {"id": rid, "_bin": True}
+                if magic != BIN_MAGIC:
+                    self.stats["errors"] += 1
+                    self._send_err(client, lock, req,
+                                   f"bad frame magic 0x{magic:08x}")
+                    return
+                if n > n_cap:
+                    # Don't trust a wild length enough to read the body.
+                    self.stats["errors"] += 1
+                    self._send_err(client, lock, req,
+                                   f"frame n={n} exceeds cap {n_cap}")
+                    return
+                has_cls = bool(flags & 1)
+                body = _recv_exact(
+                    client, n * 20 + (n * 4 if has_cls else 0))
+                if body is None:
+                    return
+                boxes = np.frombuffer(
+                    body, "<f4", count=n * 4).reshape(n, 4)
+                scores = np.frombuffer(body, "<f4", count=n, offset=n * 16)
+                classes = (np.frombuffer(body, "<i4", count=n,
+                                         offset=n * 20)
+                           if has_cls else None)
+                try:
+                    self.rescorer._check_image(rid, scores, classes,
+                                               truncate=False)
+                except ValueError as e:
+                    self.stats["errors"] += 1
+                    self._send_err(client, lock, req, str(e))
+                    continue
+                self._queue.put((client, lock, req,
+                                 (boxes, scores, classes),
                                  time.monotonic()))
 
     def _accept_loop(self):

@@ -252,6 +252,36 @@ def _tcp_fixture(bucket_sizes=(32,)):
     return serve_mod, Rescorer(cfg, params, pool_impl="dense", mesh=None)
 
 
+def _tcp_fixture_multiclass(bucket_sizes=(32,), num_classes=3):
+    """Like _tcp_fixture but with a class-aware model."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_mod", "/root/repo/scripts/serve.py")
+    serve_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve_mod)
+
+    import jax
+
+    from gossipnet_tpu.api import Rescorer
+    from gossipnet_tpu.config import load_config
+    from gossipnet_tpu.train import build_model
+
+    cfg = load_config(None, {
+        "model": {"num_blocks": 1, "feature_dim": 16, "reduced_dim": 8,
+                  "pairwise_dim": 8, "num_classes": num_classes},
+        "data": {"bucket_sizes": list(bucket_sizes),
+                 "person_only": False},
+    })
+    model = build_model(cfg, "dense")
+    n0 = min(bucket_sizes)
+    params = model.init(
+        jax.random.key(0), np.zeros((1, n0, 4), np.float32),
+        np.zeros((1, n0), np.float32), np.ones((1, n0), bool),
+        np.zeros((1, n0), np.int32))["params"]
+    return serve_mod, Rescorer(cfg, params, pool_impl="dense", mesh=None)
+
+
 def _req(rng, n, rid):
     xy = rng.uniform(0, 100, (n, 2))
     return {"id": rid, "boxes": np.concatenate([xy, xy + 10], 1).tolist(),
@@ -600,5 +630,147 @@ def test_tcp_server_small_bucket_coalesces_past_batch_size():
         assert server.stats["images"] == 10
         assert server.stats["batches"] <= 4, server.stats
         assert server.stats_snapshot()["buckets"]["8"]["max_batch"] == 8
+    finally:
+        server.stop()
+
+
+def test_tcp_server_binary_protocol():
+    """Binary frame connections round-trip bit-exact f32 scores, report
+    errors as error frames, and coexist with JSON connections on the
+    same server (protocol auto-detect is per connection)."""
+    import json as _json
+    import socket
+    import struct
+
+    from gossipnet_tpu.serving import BIN_MAGIC
+
+    serve_mod, rescorer = _tcp_fixture(bucket_sizes=(32,))
+    server = serve_mod.TcpServer(rescorer, port=0, threshold=0.0,
+                                 window_ms=2.0).start()
+    rng = np.random.default_rng(11)
+
+    def recv_exact(s, n):
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = s.recv(n - len(buf))
+            assert chunk
+            buf.extend(chunk)
+        return bytes(buf)
+
+    def read_reply(s):
+        magic, status, rid = struct.unpack("<IBQ", recv_exact(s, 13))
+        assert magic == BIN_MAGIC
+        if status:
+            (ln,) = struct.unpack("<I", recv_exact(s, 4))
+            return rid, recv_exact(s, ln).decode(), None, None
+        (n,) = struct.unpack("<I", recv_exact(s, 4))
+        scores = np.frombuffer(recv_exact(s, 4 * n), "<f4")
+        (k,) = struct.unpack("<I", recv_exact(s, 4))
+        keep = np.frombuffer(recv_exact(s, 4 * k), "<i4")
+        return rid, None, scores, keep
+
+    try:
+        n = 7
+        xy = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+        boxes = np.concatenate([xy, xy + 10], 1).astype("<f4")
+        scores = rng.uniform(0, 1, n).astype("<f4")
+        with socket.create_connection(("127.0.0.1", server.port)) as sb, \
+                socket.create_connection(("127.0.0.1", server.port)) as sj:
+            fj = sj.makefile("r")
+            # binary request
+            sb.sendall(struct.pack("<IQII", BIN_MAGIC, 42, n, 0)
+                       + boxes.tobytes() + scores.tobytes())
+            # identical JSON request on the other connection
+            sj.sendall((_json.dumps({
+                "id": "j", "boxes": boxes.tolist(),
+                "scores": scores.tolist()}) + "\n").encode())
+            rid, err, bin_scores, keep = read_reply(sb)
+            jresp = _json.loads(fj.readline())
+            assert rid == 42 and err is None
+            assert len(bin_scores) == n
+            assert "error" not in jresp
+            # same model output on both protocols (JSON rounds to 6dp)
+            np.testing.assert_allclose(
+                bin_scores, np.asarray(jresp["new_scores"], np.float32),
+                atol=1e-6)
+            assert list(keep) == jresp["keep"]
+            # oversized binary request -> error frame, connection lives
+            big = 40
+            sb.sendall(struct.pack("<IQII", BIN_MAGIC, 43, big, 0)
+                       + b"\0" * (big * 20))
+            rid, err, *_ = read_reply(sb)
+            assert rid == 43 and "bucket" in err
+            # connection still serves after the error
+            sb.sendall(struct.pack("<IQII", BIN_MAGIC, 44, n, 0)
+                       + boxes.tobytes() + scores.tobytes())
+            rid, err, s2, _ = read_reply(sb)
+            assert rid == 44 and err is None
+            np.testing.assert_array_equal(s2, bin_scores)
+        assert server.stats["errors"] == 1
+        assert server.stats["images"] == 3
+    finally:
+        server.stop()
+
+
+def test_tcp_server_binary_multiclass_and_bad_magic():
+    """Binary frames carry class ids (flags bit 0); a bad magic gets one
+    error frame and a dropped connection (framing lost)."""
+    import socket
+    import struct
+
+    from gossipnet_tpu.serving import BIN_MAGIC
+
+    serve_mod, rescorer = _tcp_fixture_multiclass(bucket_sizes=(32,))
+    server = serve_mod.TcpServer(rescorer, port=0, threshold=0.0,
+                                 window_ms=2.0).start()
+    rng = np.random.default_rng(13)
+
+    def recv_exact(s, n):
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = s.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf.extend(chunk)
+        return bytes(buf)
+
+    try:
+        n = 5
+        xy = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+        boxes = np.concatenate([xy, xy + 10], 1).astype("<f4")
+        scores = rng.uniform(0, 1, n).astype("<f4")
+        classes = rng.integers(0, 3, n).astype("<i4")
+        with socket.create_connection(("127.0.0.1", server.port)) as s:
+            s.sendall(struct.pack("<IQII", BIN_MAGIC, 7, n, 1)
+                      + boxes.tobytes() + scores.tobytes()
+                      + classes.tobytes())
+            head = recv_exact(s, 13)
+            magic, status, rid = struct.unpack("<IBQ", head)
+            assert status == 0 and rid == 7
+            (nn,) = struct.unpack("<I", recv_exact(s, 4))
+            assert nn == n
+            recv_exact(s, 4 * nn)
+            (k,) = struct.unpack("<I", recv_exact(s, 4))
+            recv_exact(s, 4 * k)
+            # multiclass without classes -> error frame (flags bit unset)
+            s.sendall(struct.pack("<IQII", BIN_MAGIC, 8, n, 0)
+                      + boxes.tobytes() + scores.tobytes())
+            magic, status, rid = struct.unpack("<IBQ", recv_exact(s, 13))
+            assert status == 1 and rid == 8
+            (ln,) = struct.unpack("<I", recv_exact(s, 4))
+            assert b"class" in recv_exact(s, ln)
+        # bad magic: one error frame, then the server drops the conn
+        with socket.create_connection(("127.0.0.1", server.port)) as s:
+            s.sendall(struct.pack("<IQII", 0xDEAD, 1, 1, 0) + b"\0" * 20)
+            magic, status, rid = struct.unpack("<IBQ", recv_exact(s, 13))
+            assert status == 1
+            (ln,) = struct.unpack("<I", recv_exact(s, 4))
+            assert b"magic" in recv_exact(s, ln)
+            # Closed: EOF, or RST if our garbage body bytes were still
+            # unread in the server's buffer when it closed.
+            try:
+                assert recv_exact(s, 1) is None
+            except ConnectionResetError:
+                pass
     finally:
         server.stop()
