@@ -164,16 +164,19 @@ from gossipnet_tpu.serving import TcpServer
 
 CLIENT = pathlib.Path(__file__).resolve().parent / "_tcp_bench_client.py"
 
-# (clients, max_queue_ms): the 16-client saturation row runs twice —
-# unbounded queueing, then with load shedding bounding the queue wait.
-for n_clients, shed_ms in ((4, None), (16, None), (16, 300.0)):
+# (clients, max_queue_ms, proto): the 16-client saturation row runs
+# three ways — unbounded queueing, with load shedding bounding the
+# queue wait, and over the binary frame protocol (no JSON on the data
+# path on either side) to isolate serialization cost at saturation.
+for n_clients, shed_ms, proto in (
+        (4, None, ""), (16, None, ""), (16, 300.0, ""), (16, None, "bin")):
     server = TcpServer(rescorer, port=0, threshold=0.5,
                        batch_size=8, window_ms=10.0,
                        max_queue_ms=shed_ms).start()
     per_client = 48
     procs = [subprocess.Popen(
         [_sys.executable, str(CLIENT), str(server.port), str(c),
-         str(per_client)], stdout=subprocess.PIPE, text=True)
+         str(per_client), proto], stdout=subprocess.PIPE, text=True)
         for c in range(n_clients)]
     reports = [json.loads(p.communicate()[0]) for p in procs]
     lat_tcp = [l for r in reports for l in r["lats"]]
@@ -185,7 +188,7 @@ for n_clients, shed_ms in ((4, None), (16, None), (16, 300.0)):
     server.stop()
     print(json.dumps({
         "metric": f"pipelined TCP server, {n_clients} concurrent "
-                  "clients (ms)",
+                  f"clients ({proto or 'json'}, ms)",
         "requests": n_clients * per_client,
         "tcp_p50": pct(lat_tcp, 50), "tcp_p99": pct(lat_tcp, 99),
         "images_per_sec": round(served / wall, 1),
