@@ -155,6 +155,35 @@ class Rescorer:
             b_pad = -(-b_pad // n_data) * n_data
         return b_pad
 
+    def reload(self, params=None, *, checkpoint_dir: str | None = None,
+               best: bool = True) -> None:
+        """Swap serving weights with zero downtime.
+
+        Pass new ``params`` directly, or ``checkpoint_dir`` to load the
+        best-AP (or latest) checkpoint from disk. Params are jit
+        ARGUMENTS, not closure captures (see ``_fn``/``_dispatch``), so
+        no recompilation happens and the swap is one atomic reference
+        assignment: batches dispatched before the call finish on the
+        old weights, every later dispatch uses the new ones. Safe to
+        call from a signal handler or admin thread while a TcpServer
+        is serving — this is the production weight-update path
+        (``python -m gossipnet_tpu.serving --tcp`` reloads on SIGHUP).
+        """
+        if (params is None) == (checkpoint_dir is None):
+            raise ValueError(
+                "pass exactly one of params / checkpoint_dir")
+        if checkpoint_dir is not None:
+            params = self.load_checkpoint_params(
+                self.cfg, checkpoint_dir, best=best)
+        else:
+            template = jax.tree.structure(self.params)
+            got = jax.tree.structure(params)
+            if got != template:
+                raise ValueError(
+                    f"new params tree does not match the serving model: "
+                    f"{got} != {template}")
+        self.params = params
+
     def warmup(self, batch_size: int = 8) -> None:
         """Pre-compile every (batch, bucket) shape reachable for
         requests served at ``batch_size`` — after this, no real request

@@ -26,6 +26,9 @@ serialize than JSON on both ends, for throughput-critical clients.
 
 COCO-results file mode (``--input``) — rescore a standard COCO
 detection-results JSON in one call, write the same format back.
+
+Checkpoint-backed ``--tcp`` servers reload weights with zero downtime
+on SIGHUP (re-reads the best-AP checkpoint; ``Rescorer.reload``).
 """
 
 from __future__ import annotations
@@ -794,6 +797,25 @@ def main(argv=None):
 
         signal.signal(signal.SIGTERM, _drain)
         signal.signal(signal.SIGINT, _drain)
+        if not args.artifact and not args.random_init:
+            # Zero-downtime weight update: SIGHUP re-reads the best-AP
+            # checkpoint and swaps it in atomically (Rescorer.reload);
+            # in-flight batches finish on the old weights. The handler
+            # runs on this (main) thread, which only waits on `done`,
+            # so the checkpoint read never blocks the serving threads.
+            def _reload(signum, frame):
+                del signum, frame
+                try:
+                    rescorer.reload(checkpoint_dir=args.checkpoint_dir)
+                    print(f"weights reloaded from "
+                          f"{args.checkpoint_dir}", file=sys.stderr,
+                          flush=True)
+                except Exception as e:   # keep serving on a bad reload
+                    print(f"reload failed (serving continues on the "
+                          f"old weights): {e}", file=sys.stderr,
+                          flush=True)
+
+            signal.signal(signal.SIGHUP, _reload)
         done.wait()
         server.stop()
         s = server.stats

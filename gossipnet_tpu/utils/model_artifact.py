@@ -191,6 +191,19 @@ class ArtifactRescorer(Rescorer):
             self._jitted[key] = fn
         return self._jitted[key]
 
+    def reload(self, params=None, *, checkpoint_dir=None,
+               best: bool = True) -> None:
+        """Artifacts bake the weights into the exported program —
+        there is nothing to swap at runtime. Export a new artifact and
+        restart (artifacts make restarts cheap: no model code, no
+        compile beyond XLA's per-process pass), or serve from a
+        checkpoint directory if hot reload is required."""
+        del params, checkpoint_dir, best
+        raise ValueError(
+            f"artifact {self._path}: weights are baked into the "
+            "exported program; hot reload needs checkpoint-backed "
+            "serving (drop --artifact)")
+
     def warmup(self, batch_size: int | None = None) -> None:
         """Compile every exported shape (deserialized programs still
         XLA-compile once per process on first call)."""

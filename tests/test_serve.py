@@ -847,3 +847,182 @@ def test_tcp_server_on_sharded_rescorer_matches_local():
             np.testing.assert_allclose(got[k], ref[k], atol=2e-4)
     finally:
         server.stop()
+
+
+def test_rescorer_hot_reload():
+    """Rescorer.reload swaps weights atomically: outputs after reload
+    match a fresh Rescorer built on the new params; mismatched trees
+    and ambiguous arguments are refused."""
+    import jax
+    import pytest
+
+    from gossipnet_tpu.api import Rescorer
+    from gossipnet_tpu.config import load_config
+    from gossipnet_tpu.train import build_model
+
+    cfg = load_config(None, {
+        "model": {"num_blocks": 1, "feature_dim": 16, "reduced_dim": 8,
+                  "pairwise_dim": 8},
+        "data": {"bucket_sizes": [32]},
+    })
+    model = build_model(cfg, "dense")
+    init_args = (np.zeros((1, 32, 4), np.float32),
+                 np.zeros((1, 32), np.float32), np.ones((1, 32), bool))
+    p1 = model.init(jax.random.key(0), *init_args)["params"]
+    p2 = model.init(jax.random.key(1), *init_args)["params"]
+
+    rng = np.random.default_rng(5)
+    xy = rng.uniform(0, 100, (9, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + 10], 1)
+    scores = rng.uniform(0, 1, 9).astype(np.float32)
+
+    r = Rescorer(cfg, p1, pool_impl="dense", mesh=None)
+    before = r(boxes, scores)
+    r.reload(p2)
+    after = r(boxes, scores)
+    want = Rescorer(cfg, p2, pool_impl="dense", mesh=None)(boxes, scores)
+    np.testing.assert_array_equal(after, want)
+    assert not np.array_equal(before, after)
+
+    with pytest.raises(ValueError, match="exactly one"):
+        r.reload()
+    with pytest.raises(ValueError, match="exactly one"):
+        r.reload(p1, checkpoint_dir="x")
+    with pytest.raises(ValueError, match="tree"):
+        r.reload({"bogus": np.zeros(3)})
+
+
+def test_tcp_server_hot_reload_under_service():
+    """Weights swapped while the TCP server is serving take effect on
+    later requests without an error or a dropped connection — the
+    zero-downtime update path the CLI's SIGHUP handler uses."""
+    import json as _json
+    import socket
+
+    import jax
+
+    from gossipnet_tpu.api import Rescorer
+    from gossipnet_tpu.train import build_model
+
+    serve_mod, rescorer = _tcp_fixture(bucket_sizes=(32,))
+    model = build_model(rescorer.cfg, "dense")
+    p2 = model.init(
+        jax.random.key(9), np.zeros((1, 32, 4), np.float32),
+        np.zeros((1, 32), np.float32), np.ones((1, 32), bool))["params"]
+
+    server = serve_mod.TcpServer(rescorer, port=0, threshold=0.0,
+                                 window_ms=2.0).start()
+    rng = np.random.default_rng(17)
+    xy = rng.uniform(0, 100, (8, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + 10], 1)
+    scores = rng.uniform(0, 1, 8).astype(np.float32)
+    req = (_json.dumps({"id": 1, "boxes": boxes.tolist(),
+                        "scores": scores.tolist()}) + "\n").encode()
+    try:
+        with socket.create_connection(("127.0.0.1", server.port)) as s, \
+                s.makefile("r") as f:
+            s.sendall(req)
+            old = np.asarray(
+                _json.loads(f.readline())["new_scores"], np.float32)
+            rescorer.reload(p2)
+            s.sendall(req)
+            new = np.asarray(
+                _json.loads(f.readline())["new_scores"], np.float32)
+        want = Rescorer(rescorer.cfg, p2, pool_impl="dense",
+                        mesh=None)(boxes, scores)
+        np.testing.assert_allclose(new, want, atol=1e-6)
+        assert not np.array_equal(old, new)
+        assert server.stats["errors"] == 0
+    finally:
+        server.stop()
+
+
+def test_artifact_rescorer_refuses_reload(tmp_path):
+    """Artifacts bake weights into the exported program; reload must
+    refuse with guidance instead of silently serving stale weights."""
+    import jax
+    import pytest
+
+    from gossipnet_tpu.config import load_config
+    from gossipnet_tpu.train import build_model
+    from gossipnet_tpu.utils import model_artifact as ma
+
+    cfg = load_config(None, {
+        "model": {"num_blocks": 1, "feature_dim": 16, "reduced_dim": 8,
+                  "pairwise_dim": 8, "pair_matmul_dtype": "float32"},
+        "data": {"bucket_sizes": [32]},
+        "parallel": {"enable": "off"},
+    })
+    model = build_model(cfg, "dense")
+    params = model.init(
+        jax.random.key(0), np.zeros((1, 32, 4), np.float32),
+        np.zeros((1, 32), np.float32), np.ones((1, 32), bool))["params"]
+    path = tmp_path / "m.gnetart"
+    ma.export_artifact(cfg, params, path, batch_sizes=(1,))
+    art = ma.ArtifactRescorer(path)
+    with pytest.raises(ValueError, match="baked"):
+        art.reload(params)
+
+
+def test_tcp_server_binary_fuzz_never_crashes():
+    """Adversarial binary-protocol input: random garbage, truncated
+    frames, zero-length frames, and abrupt disconnects must never kill
+    the server or poison service for a well-behaved connection."""
+    import socket
+    import struct
+
+    from gossipnet_tpu.serving import BIN_MAGIC
+
+    serve_mod, rescorer = _tcp_fixture(bucket_sizes=(32,))
+    server = serve_mod.TcpServer(rescorer, port=0, threshold=0.0,
+                                 window_ms=2.0).start()
+    rng = np.random.default_rng(23)
+
+    def recv_any(s):
+        s.settimeout(5.0)
+        try:
+            return s.recv(4096)
+        except (TimeoutError, OSError):
+            return b""
+
+    try:
+        # 1. pure random garbage (non-'{' first byte -> binary path)
+        for _ in range(5):
+            blob = bytes(rng.integers(1, 255, 64, dtype=np.uint8))
+            if blob[:1] in b"{ \t\r\n":
+                blob = b"\xff" + blob[1:]
+            with socket.create_connection(
+                    ("127.0.0.1", server.port)) as s:
+                s.sendall(blob)
+                recv_any(s)   # error frame or close — either is fine
+        # 2. valid header, then the connection dies mid-body
+        for _ in range(3):
+            with socket.create_connection(
+                    ("127.0.0.1", server.port)) as s:
+                s.sendall(struct.pack("<IQII", BIN_MAGIC, 1, 20, 0))
+                s.sendall(b"\0" * 37)   # 37 of the 400 body bytes
+        # 3. zero-detection frame (n=0: empty body, still a request)
+        with socket.create_connection(("127.0.0.1", server.port)) as s:
+            s.sendall(struct.pack("<IQII", BIN_MAGIC, 5, 0, 0))
+            head = recv_any(s)
+            assert head[:4] == struct.pack("<I", BIN_MAGIC)
+        # the server still serves a well-behaved client afterwards
+        xy = rng.uniform(0, 100, (6, 2)).astype("<f4")
+        boxes = np.concatenate([xy, xy + 10], 1).astype("<f4")
+        scores = rng.uniform(0, 1, 6).astype("<f4")
+        with socket.create_connection(("127.0.0.1", server.port)) as s:
+            s.sendall(struct.pack("<IQII", BIN_MAGIC, 77, 6, 0)
+                      + boxes.tobytes() + scores.tobytes())
+            magic, status, rid = struct.unpack("<IBQ", _recv13(s))
+            assert magic == BIN_MAGIC and status == 0 and rid == 77
+    finally:
+        server.stop()
+
+
+def _recv13(s):
+    buf = bytearray()
+    while len(buf) < 13:
+        c = s.recv(13 - len(buf))
+        assert c
+        buf.extend(c)
+    return bytes(buf)
