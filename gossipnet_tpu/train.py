@@ -193,12 +193,22 @@ def train(
     eval_fn=None,
     profile_dir: str | None = None,
     tb_dir: str | None = None,
+    stop=None,
 ) -> TrainState:
     """Full training loop with checkpoint/resume and periodic eval.
 
     ``eval_fn(state) -> dict`` overrides the default COCO eval (tests use
     this). Resumes automatically from ``cfg.train.checkpoint_dir``.
     ``profile_dir`` enables a jax.profiler trace of steps 10-15.
+
+    ``stop``: optional zero-arg callable polled once per drawn batch —
+    when it returns True, training stops EARLY but CLEANLY: queued
+    batches flush as single steps, a checkpoint (params + opt state +
+    PRNG + iterator cursor) is written, and the state returns as if
+    max_steps had been reached. A later ``train()`` against the same
+    checkpoint dir resumes bit-exactly (the existing resume guarantee).
+    This is the preemption path: the CLI wires SIGTERM/SIGINT to it, so
+    a preempted pod job loses at most the in-flight group.
     """
     t = cfg.train
     max_steps = max_steps if max_steps is not None else t.max_steps
@@ -326,7 +336,11 @@ def train(
     def planned_steps() -> int:
         return host_step + sum(len(v) for v in queues.values())
 
+    preempted = False
     while planned_steps() < max_steps:
+        if stop is not None and stop():
+            preempted = True
+            break
         batch = next(it)
         key = (batch.padded_n, batch.padded_g)
         queues.setdefault(key, []).append(batch)
@@ -361,11 +375,15 @@ def train(
 
     # Tail: batches already drawn from the iterator but still queued
     # train as single steps before the final save, so exactly max_steps
-    # batches train and resume state matches the trained stream.
+    # batches train and resume state matches the trained stream. The
+    # preemption path exits through the same code: flush, save, return.
     state = flush_queues(state)
     profiler.close()
     ckpt.save(int(state.step), state, {"iterator": it.get_state()})
     ckpt.close()
+    if preempted:
+        print(f"preempted: snapshot at step {int(state.step)}; "
+              f"rerun to resume", flush=True)
     return state
 
 
@@ -431,9 +449,32 @@ def main(argv: list[str] | None = None) -> None:
                            person_only=cfg.data.person_only,
                            max_dets=cfg.data.max_detections)
                if cfg.data.val_ann_file else None)
+    # Preemption safety: TPU pod jobs get SIGTERM'd (spot reclaim,
+    # scheduler migration). First signal -> finish the in-flight group,
+    # flush queued batches, checkpoint (incl. iterator cursor), exit 0;
+    # rerunning the same command resumes bit-exactly. A second signal
+    # falls through to the default handler (hard kill) in case the
+    # graceful path is stuck in a long device call.
+    import signal
+    import threading
+
+    stop_ev = threading.Event()
+
+    def _preempt(signum, frame):
+        del frame
+        if stop_ev.is_set():
+            signal.signal(signum, signal.SIG_DFL)
+            signal.raise_signal(signum)
+        print("signal received: checkpointing, then exiting "
+              "(signal again to kill)", flush=True)
+        stop_ev.set()
+
+    signal.signal(signal.SIGTERM, _preempt)
+    signal.signal(signal.SIGINT, _preempt)
+
     train(cfg, roidb, val_roidb=val, pool_impl=pool_impl,
           metrics_path=args.metrics, profile_dir=args.profile,
-          tb_dir=args.tensorboard)
+          tb_dir=args.tensorboard, stop=stop_ev.is_set)
 
 
 if __name__ == "__main__":

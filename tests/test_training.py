@@ -114,3 +114,37 @@ def test_checkpoint_resume_reproduces_stream(tmp_path):
     for x, y in zip(la, lb):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_preemption_stop_checkpoints_and_resumes_bit_exact(tmp_path):
+    """A ``stop`` signal mid-run (the CLI's SIGTERM path) checkpoints
+    cleanly — params + iterator cursor — and a rerun of the same config
+    resumes to the SAME final params as an uninterrupted run."""
+    roidb = synthetic_roidb(num_images=16, seed=0)
+
+    cfg_a = _tiny_cfg(tmp_path, max_steps=24, snapshot_every=0,
+                      checkpoint_dir=str(tmp_path / "a"))
+    state_a = train(cfg_a, roidb, max_steps=24)
+
+    # Interrupted arm: stop fires after a handful of drawn batches
+    # (deterministic: the callable is polled once per batch), then the
+    # SAME command runs again and must resume from the snapshot.
+    cfg_b = _tiny_cfg(tmp_path, max_steps=24, snapshot_every=0,
+                      checkpoint_dir=str(tmp_path / "b"))
+    polls = iter(range(1000))
+    state_mid = train(cfg_b, roidb, max_steps=24,
+                      stop=lambda: next(polls) >= 9)
+    mid_step = int(state_mid.step)
+    assert 0 < mid_step < 24          # stopped early...
+    from gossipnet_tpu.utils.checkpoint import CheckpointManager
+
+    assert CheckpointManager(cfg_b.train.checkpoint_dir
+                             ).latest_step() == mid_step  # ...with a save
+    state_b = train(cfg_b, roidb, max_steps=24)   # plain rerun resumes
+    assert int(state_b.step) == 24
+
+    la, ta = jax.tree.flatten(state_a.params)
+    lb, tb = jax.tree.flatten(state_b.params)
+    assert ta == tb
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
