@@ -215,24 +215,46 @@ class Rescorer:
             raise ValueError(
                 f"image {idx} has {len(scores)} detections > largest "
                 f"bucket {max_bucket}; raise data.bucket_sizes or pass "
-                "truncate=True (tail scores become 0.0)"
+                "truncate=True (lowest-scored overflow gets score 0.0)"
             )
 
     def _pack(self, group, padded_n):
-        """group: list of (idx, boxes, scores, classes) -> padded arrays."""
+        """group: list of (idx, boxes, scores, classes) -> padded arrays
+        plus one kept-index array (or None) per row.
+
+        An oversized image (n > padded_n) keeps its TOP ``padded_n``
+        detections BY SCORE — the same capping rule the training loader
+        applies (data/roidb.py score capping, mirroring the reference's
+        per-image detection cap) — not an arbitrary input prefix, which
+        would silently drop high-scoring detections whenever a caller's
+        input is not score-sorted. Selection is a stable sort, so ties
+        resolve to the earliest input index, deterministically; the kept
+        indices stay in input order so results scatter straight back.
+        """
         b = len(group)
         boxes_a = np.zeros((b, padded_n, 4), np.float32)
         scores_a = np.zeros((b, padded_n), np.float32)
         valid_a = np.zeros((b, padded_n), bool)
         classes_a = np.zeros((b, padded_n), np.int32)
+        keeps: list = []
         for row, (_, bx, sc, cl) in enumerate(group):
-            n = min(len(sc), padded_n)
-            boxes_a[row, :n] = np.asarray(bx, np.float32)[:n]
-            scores_a[row, :n] = np.asarray(sc, np.float32)[:n]
+            bx = np.asarray(bx, np.float32)
+            sc = np.asarray(sc, np.float32)
+            cl = None if cl is None else np.asarray(cl, np.int32)
+            keep = None
+            if len(sc) > padded_n:
+                keep = np.sort(
+                    np.argsort(-sc, kind="stable")[:padded_n])
+                bx, sc = bx[keep], sc[keep]
+                cl = None if cl is None else cl[keep]
+            keeps.append(keep)
+            n = len(sc)
+            boxes_a[row, :n] = bx
+            scores_a[row, :n] = sc
             valid_a[row, :n] = True
             if cl is not None:
-                classes_a[row, :n] = np.asarray(cl, np.int32)[:n]
-        return boxes_a, scores_a, valid_a, classes_a
+                classes_a[row, :n] = cl
+        return (boxes_a, scores_a, valid_a, classes_a), keeps
 
     # --- public API ---
     def __call__(self, boxes, scores, classes=None) -> np.ndarray:
@@ -256,16 +278,14 @@ class Rescorer:
         def emit(entry):
             out, b, metas = entry
             host = np.asarray(out)[:b]
-            for row, (idx, n, kept) in enumerate(metas):
-                res = np.zeros(n, np.float32)
-                res[:kept] = host[row, :kept]
-                yield idx, res
+            for row, (idx, n, keep) in enumerate(metas):
+                yield idx, _scatter_scores(host[row], n, keep)
 
         def dispatch(group, padded_n):
-            arrays = self._pack(group, padded_n)
+            arrays, keeps = self._pack(group, padded_n)
             out, b = self._dispatch(*arrays)
-            metas = [(idx, len(sc), min(len(sc), padded_n))
-                     for idx, _, sc, _ in group]
+            metas = [(idx, len(sc), keeps[row])
+                     for row, (idx, _, sc, _) in enumerate(group)]
             return out, b, metas
 
         cur: list = []
@@ -311,8 +331,9 @@ class Rescorer:
             padded_n = bucket_for(max(len(sc) for _, sc, _ in images),
                                   self.cfg.data.bucket_sizes)
         group = [(i,) + tuple(img) for i, img in enumerate(images)]
-        out, b = self._dispatch(*self._pack(group, padded_n))
-        metas = [(len(sc), min(len(sc), padded_n)) for _, sc, _ in images]
+        arrays, keeps = self._pack(group, padded_n)
+        out, b = self._dispatch(*arrays)
+        metas = [(len(sc), keeps[i]) for i, (_, sc, _) in enumerate(images)]
         return AsyncBatch(out, b, metas)
 
     def rescore_batch(
@@ -327,9 +348,10 @@ class Rescorer:
         Returns new scores aligned with each image's input order.
 
         Images with more detections than the largest configured bucket
-        raise by default. With ``truncate=True`` the top-bucket prefix is
-        rescored and the tail gets score 0.0 (output length always
-        matches input length).
+        raise by default. With ``truncate=True`` the top-bucket-size
+        detections BY SCORE are rescored (stable ties, input order
+        preserved — see ``_pack``) and the overflow gets score 0.0
+        (output length always matches input length).
         """
         buckets: dict[int, list[int]] = {}
         for idx, (boxes, scores, classes) in enumerate(images):
@@ -343,13 +365,11 @@ class Rescorer:
             for s in range(0, len(idxs), batch_size):
                 group = [(idx,) + tuple(images[idx])
                          for idx in idxs[s : s + batch_size]]
-                new_scores = self._run(*self._pack(group, padded_n))
+                arrays, keeps = self._pack(group, padded_n)
+                new_scores = self._run(*arrays)
                 for row, (idx, _, sc, _) in enumerate(group):
-                    n = len(sc)
-                    kept = min(n, padded_n)
-                    res = np.zeros(n, np.float32)
-                    res[:kept] = new_scores[row, :kept]
-                    out[idx] = res
+                    out[idx] = _scatter_scores(
+                        new_scores[row], len(sc), keeps[row])
         return out  # type: ignore[return-value]
 
 
@@ -370,9 +390,5 @@ class AsyncBatch:
 
     def wait(self) -> list[np.ndarray]:
         host = np.asarray(self._out)[: self._b]
-        results = []
-        for row, (n, kept) in enumerate(self._metas):
-            res = np.zeros(n, np.float32)
-            res[:kept] = host[row, :kept]
-            results.append(res)
-        return results
+        return [_scatter_scores(host[row], n, keep)
+                for row, (n, keep) in enumerate(self._metas)]
