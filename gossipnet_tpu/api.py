@@ -27,6 +27,23 @@ from gossipnet_tpu.config import Config
 from gossipnet_tpu.data.bucketing import bucket_for
 
 
+def _scatter_scores(host_row: np.ndarray, n: int, keep) -> np.ndarray:
+    """Map one padded device-output row back to input length ``n``.
+
+    ``keep`` is the kept-index array ``_pack`` produced for this row
+    (indices into the ORIGINAL input, ascending) when the image was
+    truncated to the bucket size, or None when it fit. Truncated-away
+    detections get score 0.0 — "suppressed", matching the documented
+    ``truncate=True`` contract (output length always equals input
+    length).
+    """
+    if keep is None:
+        return np.asarray(host_row[:n], np.float32)
+    out = np.zeros(n, np.float32)
+    out[keep] = host_row[: len(keep)]
+    return out
+
+
 class Rescorer:
     """Thread-compatible, jit-caching detection rescorer.
 
@@ -327,6 +344,13 @@ class Rescorer:
         """
         for idx, (_, scores, classes) in enumerate(images):
             self._check_image(idx, scores, classes, truncate)
+            if (padded_n is not None and len(scores) > padded_n
+                    and not truncate):
+                raise ValueError(
+                    f"image {idx} has {len(scores)} detections > explicit "
+                    f"padded_n={padded_n}; pick a larger bucket or pass "
+                    "truncate=True (lowest-scored overflow gets score 0.0)"
+                )
         if padded_n is None:
             padded_n = bucket_for(max(len(sc) for _, sc, _ in images),
                                   self.cfg.data.bucket_sizes)

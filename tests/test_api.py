@@ -161,6 +161,63 @@ def test_dispatch_pads_batch_to_pow2():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_rescore_truncate_scatters_back_to_input_order():
+    """Oversized image + truncate=True: top-bucket detections BY SCORE
+    are rescored, overflow gets 0.0, output aligned with input order
+    (regression for the r3 _scatter_scores NameError)."""
+    cfg = _cfg()
+    rescorer, _ = _make_rescorer(cfg)
+    rng = np.random.default_rng(7)
+    n = max(cfg.data.bucket_sizes) + 40          # 168 > 128
+    from tests.conftest import random_boxes
+
+    boxes = random_boxes(rng, n)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    import pytest
+
+    with pytest.raises(ValueError, match="largest"):
+        rescorer.rescore_batch([(boxes, scores, None)])
+    (out,) = rescorer.rescore_batch([(boxes, scores, None)], truncate=True)
+    assert out.shape == scores.shape
+    keep = np.sort(np.argsort(-scores, kind="stable")[: max(
+        cfg.data.bucket_sizes)])
+    dropped = np.setdiff1d(np.arange(n), keep)
+    assert (out[dropped] == 0.0).all()
+    # Kept detections match rescoring the truncated image directly.
+    direct = rescorer(boxes[keep], scores[keep])
+    np.testing.assert_allclose(out[keep], direct, rtol=1e-5, atol=1e-6)
+    # Stream path shares the scatter helper.
+    ((_, stream_out),) = list(
+        rescorer.rescore_stream([(boxes, scores, None)], truncate=True))
+    np.testing.assert_allclose(stream_out, out, rtol=1e-5, atol=1e-6)
+
+
+def test_rescore_async_matches_batch_and_validates_padded_n():
+    cfg = _cfg()
+    rescorer, roidb = _make_rescorer(cfg)
+    images = [(r.det_boxes, r.det_scores, None) for r in roidb.records[:3]]
+    handle = rescorer.rescore_async(images)
+    got = handle.wait()
+    ref = rescorer.rescore_batch(images)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-6)
+    # Explicit padded_n smaller than an image must raise unless
+    # truncate=True (ADVICE r3: no silent truncation).
+    import pytest
+
+    from tests.conftest import random_boxes
+
+    rng = np.random.default_rng(9)
+    n_big = min(cfg.data.bucket_sizes) + 20            # 84 > 64
+    big = [(random_boxes(rng, n_big),
+            rng.uniform(0, 1, n_big).astype(np.float32), None)]
+    small = min(cfg.data.bucket_sizes)
+    with pytest.raises(ValueError, match="padded_n"):
+        rescorer.rescore_async(big, padded_n=small)
+    out = rescorer.rescore_async(big, padded_n=small, truncate=True).wait()
+    assert all(o.shape == sc.shape for o, (_, sc, _) in zip(out, big))
+
+
 def test_warmup_precompiles_all_reachable_shapes():
     """After warmup(batch_size), serving any mix of request sizes hits
     only already-compiled executables."""
