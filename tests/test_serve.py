@@ -1026,3 +1026,68 @@ def _recv13(s):
         assert c
         buf.extend(c)
     return bytes(buf)
+
+
+def test_tcp_server_survives_rescorer_failures():
+    """Fault injection (VERDICT r3 weak #3): a rescorer that throws at
+    DISPATCH (batcher thread) or at WAIT (replier thread) must turn into
+    error replies — not dead threads — with the slot semaphore balanced,
+    and the server must answer the next request normally."""
+    import json as _json
+    import socket
+
+    serve_mod, rescorer = _tcp_fixture()
+
+    class FlakyRescorer:
+        """Delegates to a real Rescorer; fails the first dispatch and
+        the first post-dispatch wait(), then behaves."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.dispatch_failures = 1
+            self.wait_failures = 1
+
+        def __getattr__(self, name):   # cfg, _run, _check_image, ...
+            return getattr(self._inner, name)
+
+        def rescore_async(self, images, padded_n=None, truncate=False):
+            if self.dispatch_failures > 0:
+                self.dispatch_failures -= 1
+                raise RuntimeError("injected dispatch failure")
+            handle = self._inner.rescore_async(
+                images, padded_n=padded_n, truncate=truncate)
+            if self.wait_failures > 0:
+                self.wait_failures -= 1
+
+                class BadHandle:
+                    def wait(self):
+                        raise RuntimeError("injected wait failure")
+
+                return BadHandle()
+            return handle
+
+    flaky = FlakyRescorer(rescorer)
+    server = serve_mod.TcpServer(flaky, port=0, threshold=0.0,
+                                 batch_size=1, window_ms=1.0,
+                                 pipeline_depth=1).start()
+    rng = np.random.default_rng(3)
+    try:
+        with socket.create_connection(("127.0.0.1", server.port)) as s:
+            f = s.makefile("r")
+            # 1: batcher-thread failure -> error reply on this conn.
+            s.sendall((_json.dumps(_req(rng, 5, "a")) + "\n").encode())
+            resp = _json.loads(f.readline())
+            assert resp["id"] == "a" and "internal error" in resp["error"]
+            # 2: replier-thread failure (handle.wait raises).
+            s.sendall((_json.dumps(_req(rng, 5, "b")) + "\n").encode())
+            resp = _json.loads(f.readline())
+            assert resp["id"] == "b" and "internal error" in resp["error"]
+            # 3: both threads alive, slot released twice -> real answer.
+            s.sendall((_json.dumps(_req(rng, 5, "c")) + "\n").encode())
+            resp = _json.loads(f.readline())
+            assert "error" not in resp, resp
+            assert len(resp["new_scores"]) == 5
+        assert server.stats["errors"] >= 2
+        assert server._batcher_t.is_alive() and server._replier_t.is_alive()
+    finally:
+        server.stop()
