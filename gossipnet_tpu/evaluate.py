@@ -241,17 +241,12 @@ def main(argv=None) -> None:
         # artifact serves only exported (b, n) shapes — so batch_size
         # must BE an exported batch: the largest one <= the configured
         # batch (else the smallest exported).
-        exported_bs = sorted({b for b, _ in artifact._exported})
+        exported_bs = sorted({b for b, _ in artifact.exported_shapes()})
         fitting = [b for b in exported_bs if b <= cfg.train.batch_size]
         batch_size = fitting[-1] if fitting else exported_bs[0]
         bucket_sizes = tuple(artifact.cfg.data.bucket_sizes)
         params, model = None, None
-
-        def fwd(boxes, scores, valid, classes):
-            return artifact._fn(scores.shape[0], scores.shape[1])(
-                None, boxes, scores, valid,
-                classes if classes is not None
-                else np.zeros(scores.shape, np.int32))
+        fwd = artifact.forward
 
         print(f"evaluating artifact {args.artifact} "
               f"({len(artifact.meta['shapes'])} shapes)")
