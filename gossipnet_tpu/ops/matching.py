@@ -105,7 +105,9 @@ def greedy_match(
                    > 0). Both are exact and tie-break identically
                    (parity-tested). Batched callers should prefer
                    :func:`greedy_match_batch`, whose TPU default is the
-                   batched kernel (4.7x the vmapped scan).
+                   batched kernel — measured 0.59 vs 1.14 ms/step for
+                   the vmapped scan at B=8/N=1024/G=112 on v5e
+                   (scripts/probe.py match; BENCHMARKS.md).
 
     Returns:
       MatchResult with arrays of shape [T, N].
@@ -139,13 +141,16 @@ def greedy_match(
     valid_sorted = valid[order]                  # [N]
 
     if impl is None:
-        # Default: the lax.scan. It batch-vectorizes under vmap (all B
-        # images advance per step), which measured FASTER on v5e than the
-        # Pallas kernel whose vmap lifts to a sequential grid dimension
-        # (1.43ms vs 2.95ms at B=8/N=1024/G=112). The kernel remains
-        # available (impl='pallas'; exact, parity-tested) for unbatched /
-        # huge-N use. It requires thresholds > 0 (exclusions are folded
-        # into zeroed IoU rows).
+        # Default for the UNBATCHED entry point: the lax.scan. The speed
+        # ladder at B=8/N=1024/G=112 on v5e (scripts/probe.py match) is
+        # batched Pallas kernel 0.59 ms/step < vmapped scan 1.14 ms <
+        # vmapped single-image kernel 2.95 ms (vmap lifts the kernel to
+        # a sequential grid dimension) — so batched callers get the
+        # batched kernel via greedy_match_batch, while here, where vmap
+        # is the only batching, the scan wins. impl='pallas' remains
+        # available (exact, parity-tested) for unbatched / huge-N use;
+        # it requires thresholds > 0 (exclusions are folded into zeroed
+        # IoU rows).
         impl = "scan"
 
     if impl == "pallas":
@@ -276,8 +281,11 @@ def greedy_match_batch(
     """Batched matching -> [B, T, N].
 
     impl: None = batched Pallas kernel on TPU (the whole batch advances
-    inside one kernel; ~3x the vmapped scan), scan elsewhere;
-    'scan' | 'pallas' force a path.
+    inside one kernel), scan elsewhere; 'scan' | 'pallas' force a path.
+    This is the entry the train-step loss uses (losses.py), so the TPU
+    default IS the measured-fastest path for the flagship training
+    shape: 0.59 ms/step (batched kernel) vs 1.14 ms (vmapped scan) at
+    B=8/N=1024/G=112 on v5e (scripts/probe.py match, 2026-08-19).
     """
     if impl is None:
         try:

@@ -78,6 +78,13 @@ from gossipnet_tpu.ops.pallas.pairwise import (
 
 _EPS = 1e-6  # pf._EPS, the iou union clamp
 
+# Measurement-only experiment switches (GNET_PAIR_EXP=jexp1,validfold):
+# r4 VPU-gap candidates, kept env-gated so head-to-head timing never
+# forks the kernel. Not part of the public config.
+import os as _os
+_EXP = frozenset(
+    s for s in _os.environ.get("GNET_PAIR_EXP", "").split(",") if s)
+
 # wg row indices (pair_features.py order) folded into the a (row) / b
 # (col) terms outside the kernel, and the rows kept in-kernel.
 _SEP_I = (1, 2, 3, 4, 5, 6)   # dx_i-half, dy_i-half, -dlogs, s_i
@@ -291,8 +298,17 @@ def _tile_core(spec: PoolSpec2, ci_scr, colsJ_t, ti: int, tj: int):
     colsJ_t: [CJ, TJ] col-side stacked columns for this col tile.
     """
     pk, tipk = spec.pk, ti // spec.pk
-    jx = {name: _j_expand(colsJ_t[c:c + 1, :], pk, tipk)
-          for c, name in enumerate(_CJ_FIELDS)}
+    if "jexp1" in _EXP:
+        # r4 exp: ONE broadcast+tile over the stacked [CJ, TJ] plane
+        # instead of 8 per-field _j_expand ops (same lane order).
+        nf = colsJ_t.shape[0]
+        jall = jnp.tile(
+            jnp.broadcast_to(colsJ_t[:, None, :],
+                             (nf, pk, colsJ_t.shape[-1])), (1, 1, tipk))
+        jx = {name: jall[c] for c, name in enumerate(_CJ_FIELDS)}
+    else:
+        jx = {name: _j_expand(colsJ_t[c:c + 1, :], pk, tipk)
+              for c, name in enumerate(_CJ_FIELDS)}
     ix1, iy1, ix2, iy2 = (ci_scr[c] for c in range(4))
     iarea, iinvw, iinvh, ivalid = (ci_scr[c] for c in range(4, 8))
 
@@ -302,11 +318,19 @@ def _tile_core(spec: PoolSpec2, ci_scr, colsJ_t, ti: int, tj: int):
                      0.0)
     inter = iw * ih
     union = iarea + jx["area"] - inter
-    iou = inter / jnp.maximum(union, _EPS)              # [pk, M~]
+    if "validfold" in _EXP and spec.neighbor_iou > 0.0:
+        # r4 exp: fold the pair-validity gate into iou itself so the
+        # neighbor chain is mul+mul+cmp instead of cmp+cmp+cmp+and+and.
+        # Invalid pairs' iou FEATURE becomes 0 — harmless: their
+        # contribution is masked out of the max and their dpre2 is 0.
+        iou = (inter / jnp.maximum(union, _EPS)) * (ivalid * jx["valid"])
+        neighbor = iou >= spec.neighbor_iou
+    else:
+        iou = inter / jnp.maximum(union, _EPS)          # [pk, M~]
+        neighbor = ((iou >= spec.neighbor_iou)
+                    & (ivalid > 0.0) & (jx["valid"] > 0.0))
 
     feats = [iou, jx["cx"] * iinvw, jx["cy"] * iinvh]
-    neighbor = ((iou >= spec.neighbor_iou)
-                & (ivalid > 0.0) & (jx["valid"] > 0.0))
     if spec.multiclass:
         jcls = _j_expand(colsJ_t[len(_CJ_FIELDS):len(_CJ_FIELDS) + 1, :],
                          pk, tipk)

@@ -225,14 +225,24 @@ def mode_match(args):
 
         totals = {}
         for k in (5, 25):
-            s0 = jnp.asarray(np.random.default_rng(k).uniform(
+            # Warm, then time the MEDIAN of 3 calls with FRESH inputs
+            # each (the remote stack caches identical requests, and the
+            # first timed call pays tunnel jitter — BENCHMARKS.md).
+            warm = jnp.asarray(np.random.default_rng(999 + k).uniform(
                 0, 1, arrays["scores"].shape).astype(np.float32))
-            jax.block_until_ready(match_loop(s0, k))
-            t0 = time.perf_counter()
-            v = float(jnp.sum(match_loop(s0, k)))
-            totals[k] = time.perf_counter() - t0
-            print(f"{impl} K={k}: total {totals[k] * 1e3:.1f} ms "
-                  f"(v={v:.4f})", flush=True)
+            jax.block_until_ready(match_loop(warm, k))
+            ts = []
+            for rep in range(3):
+                s0 = jnp.asarray(np.random.default_rng(
+                    10 * k + rep).uniform(
+                    0, 1, arrays["scores"].shape).astype(np.float32))
+                t0 = time.perf_counter()
+                v = float(jnp.sum(match_loop(s0, k)))
+                ts.append(time.perf_counter() - t0)
+            totals[k] = sorted(ts)[1]
+            print(f"{impl} K={k}: median {totals[k] * 1e3:.1f} ms of "
+                  f"{[round(t * 1e3, 1) for t in ts]} (v={v:.4f})",
+                  flush=True)
         print(f"{impl} marginal: {(totals[25] - totals[5]) / 20 * 1e3:.2f} "
               "ms/step", flush=True)
 

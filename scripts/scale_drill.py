@@ -40,7 +40,8 @@ CAT_IDS = [1] + [i for i in range(2, 91) if i not in
                  (12, 26, 29, 30, 45, 66, 68, 69, 71, 83)][:79]
 
 
-def gen(n_images=N_IMAGES, seed=0, prefix=""):
+def gen(n_images=N_IMAGES, seed=0, prefix="",
+        gt_range=(2, 22), dets_per_gt=(3, 8), fp_range=(10, 30)):
     DATA.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
     cat_p = np.full(len(CAT_IDS), 0.7 / (len(CAT_IDS) - 1))
@@ -52,7 +53,7 @@ def gen(n_images=N_IMAGES, seed=0, prefix=""):
         images.append({"id": img_id, "width": CANVAS_W,
                        "height": CANVAS_H,
                        "file_name": f"drill_{img_id:06d}.jpg"})
-        n_gt = int(rng.integers(2, 22))
+        n_gt = int(rng.integers(*gt_range))
         for _ in range(n_gt):
             cid = int(rng.choice(CAT_IDS, p=cat_p))
             w = float(rng.uniform(12, 200)); h = float(rng.uniform(12, 200))
@@ -64,9 +65,9 @@ def gen(n_images=N_IMAGES, seed=0, prefix=""):
                 "bbox": [x, y, w, h], "area": w * h, "iscrowd": crowd,
             })
             ann_id += 1
-            # detector dump: 3-7 jittered dets per (non-crowd) GT
+            # detector dump: jittered dets per (non-crowd) GT
             if not crowd:
-                for _ in range(int(rng.integers(3, 8))):
+                for _ in range(int(rng.integers(*dets_per_gt))):
                     jit = rng.normal(0, 0.12 * min(w, h), size=4)
                     bw = max(w + jit[2], 4.0); bh = max(h + jit[3], 4.0)
                     detections.append({
@@ -76,7 +77,7 @@ def gen(n_images=N_IMAGES, seed=0, prefix=""):
                             rng.normal(0.55, 0.22), 0.01, 0.999)),
                     })
         # background false positives
-        for _ in range(int(rng.integers(10, 30))):
+        for _ in range(int(rng.integers(*fp_range))):
             cid = int(rng.choice(CAT_IDS, p=cat_p))
             w = float(rng.uniform(12, 160)); h = float(rng.uniform(12, 160))
             detections.append({
@@ -184,8 +185,14 @@ def run(train_steps=300):
     print(json.dumps(out), flush=True)
 
 
+# Reference detection density (SURVEY §5 long-context note): hundreds
+# to 1024 dets/image, N=1024 bucket dominant. ~50x11 GT-clustered dets
+# + ~140 background FPs => mean ~690/image, tail above the 1024 cap.
+DENSE = dict(gt_range=(30, 71), dets_per_gt=(8, 15), fp_range=(80, 201))
+
+
 def full(train_steps=3000, lr=1e-3, schedule="constant", tag="full",
-         multiclass=False):
+         multiclass=False, prefix="", n_images=N_IMAGES, density=None):
     """Full-budget config-2 training on the drill dataset (round 3).
 
     The 300-step OAT calibration (PARITY.md) left two open questions:
@@ -197,12 +204,14 @@ def full(train_steps=3000, lr=1e-3, schedule="constant", tag="full",
     best checkpoint on the 5k train-distribution images with the
     swept-GreedyNMS baseline. One JSON line per phase -> RESULTS.md.
     """
-    if not (DATA / "annotations.json").exists():
-        gen()
-    if not (DATA / "val_annotations.json").exists():
-        gen(n_images=600, seed=1, prefix="val_")
-    ann = str(DATA / "annotations.json")
-    det = str(DATA / "detections.json")
+    density = density or {}
+    if not (DATA / f"{prefix}annotations.json").exists():
+        gen(n_images=n_images, prefix=prefix, **density)
+    if not (DATA / f"{prefix}val_annotations.json").exists():
+        gen(n_images=max(n_images // 8, 100), seed=1,
+            prefix=f"{prefix}val_", **density)
+    ann = str(DATA / f"{prefix}annotations.json")
+    det = str(DATA / f"{prefix}detections.json")
     ck = DATA / f"ck_{tag}"
     model = ("model: {num_blocks: 16, feature_dim: 128, reduced_dim: 32, "
              "pairwise_dim: 32, num_classes: 80, class_embed_dim: 32}\n"
@@ -214,8 +223,8 @@ def full(train_steps=3000, lr=1e-3, schedule="constant", tag="full",
     y = _yaml(f"cfg_{tag}.yaml", (
         model
         + f"data:\n  dataset: coco\n  ann_file: {ann}\n  det_file: {det}\n"
-        f"  val_ann_file: {DATA / 'val_annotations.json'}\n"
-        f"  val_det_file: {DATA / 'val_detections.json'}\n"
+        f"  val_ann_file: {DATA / (prefix + 'val_annotations.json')}\n"
+        f"  val_det_file: {DATA / (prefix + 'val_detections.json')}\n"
         "  max_detections: 1024\n  bucket_sizes: [256, 512, 1024]\n"
         f"  person_only: {'false' if multiclass else 'true'}\n"
         f"train: {{optimizer: adam, learning_rate: {lr}, "
@@ -230,8 +239,8 @@ def full(train_steps=3000, lr=1e-3, schedule="constant", tag="full",
             f"{tag} train ({train_steps} steps, lr={lr}, {schedule})",
             [py, "-m", "gossipnet_tpu.train", "-c", y,
              "--metrics", str(DATA / f"m_{tag}.jsonl")]),
-        f"{tag}_eval_5k": _run_phase(
-            f"{tag} eval (best ckpt, 5k images, swept-NMS baseline)",
+        f"{tag}_eval": _run_phase(
+            f"{tag} eval ({n_images} train-dist images, swept-NMS baseline)",
             [py, "-m", "gossipnet_tpu.evaluate", "-c", y, "--nms-sweep"]),
     }
     print(json.dumps(out), flush=True)
@@ -376,3 +385,11 @@ if __name__ == "__main__":
         full_pets(train_steps=int(a[0]) if a else 3000,
                   lr=float(a[1]) if len(a) > 1 else 1e-3,
                   schedule=a[2] if len(a) > 2 else "cosine")
+    if what in ("dense", "dense80"):
+        # dense[80] [steps]: reference-density arm (VERDICT r3 item 7) —
+        # 300-1024 dets/image, N=1024 bucket dominant, full budget.
+        a = sys.argv[2:]
+        mc = what == "dense80"
+        full(train_steps=int(a[0]) if a else 3000,
+             tag="dense80" if mc else "dense",
+             multiclass=mc, prefix="dense_", n_images=2000, density=DENSE)
