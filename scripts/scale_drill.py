@@ -41,11 +41,12 @@ CAT_IDS = [1] + [i for i in range(2, 91) if i not in
 
 
 def gen(n_images=N_IMAGES, seed=0, prefix="",
-        gt_range=(2, 22), dets_per_gt=(3, 8), fp_range=(10, 30)):
+        gt_range=(2, 22), dets_per_gt=(3, 8), fp_range=(10, 30),
+        person_p=0.3):
     DATA.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
-    cat_p = np.full(len(CAT_IDS), 0.7 / (len(CAT_IDS) - 1))
-    cat_p[0] = 0.3
+    cat_p = np.full(len(CAT_IDS), (1.0 - person_p) / (len(CAT_IDS) - 1))
+    cat_p[0] = person_p
 
     images, annotations, detections = [], [], []
     ann_id = 1
@@ -126,7 +127,7 @@ def _run_phase(name: str, argv: list[str], env=None) -> dict:
     if not ok:
         raise SystemExit(f"{name} failed")
     return {"wall_s": round(wall, 1), "peak_rss_gb": round(rss / 1e6, 2),
-            "tail": tail.splitlines()[-3:]}
+            "tail": out.splitlines()[-40:]}
 
 
 def run(train_steps=300):
@@ -189,6 +190,11 @@ def run(train_steps=300):
 # to 1024 dets/image, N=1024 bucket dominant. ~50x11 GT-clustered dets
 # + ~140 background FPs => mean ~690/image, tail above the 1024 cap.
 DENSE = dict(gt_range=(30, 71), dets_per_gt=(8, 15), fp_range=(80, 201))
+# Persons arm: person_only filters to category 1, so the density must
+# land AFTER filtering — person-dominant mix + higher dets/GT keeps the
+# per-image PERSON count in the 1024 bucket (~700 mean).
+DENSE_P = dict(gt_range=(30, 71), dets_per_gt=(10, 17),
+               fp_range=(80, 201), person_p=0.95)
 
 
 def full(train_steps=3000, lr=1e-3, schedule="constant", tag="full",
@@ -386,10 +392,18 @@ if __name__ == "__main__":
                   lr=float(a[1]) if len(a) > 1 else 1e-3,
                   schedule=a[2] if len(a) > 2 else "cosine")
     if what in ("dense", "dense80"):
-        # dense[80] [steps]: reference-density arm (VERDICT r3 item 7) —
-        # 300-1024 dets/image, N=1024 bucket dominant, full budget.
+        # dense[80] [steps] [lr] [schedule]: reference-density arm
+        # (VERDICT r3 item 7) — 300-1024 dets/image, N=1024 bucket
+        # dominant, full budget. Tag carries the schedule so arms never
+        # collide on checkpoint dirs.
         a = sys.argv[2:]
         mc = what == "dense80"
+        schedule = a[2] if len(a) > 2 else "constant"
+        tag = ("dense80" if mc else "densep") + (
+            "" if schedule == "constant" else f"_{schedule}")
         full(train_steps=int(a[0]) if a else 3000,
-             tag="dense80" if mc else "dense",
-             multiclass=mc, prefix="dense_", n_images=2000, density=DENSE)
+             lr=float(a[1]) if len(a) > 1 else 1e-3,
+             schedule=schedule, tag=tag,
+             multiclass=mc,
+             prefix="dense_" if mc else "densep_",
+             n_images=2000, density=DENSE if mc else DENSE_P)

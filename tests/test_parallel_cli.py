@@ -199,8 +199,14 @@ def test_rescorer_oversize_raises_or_pads():
     out = r.rescore_batch([(rec.det_boxes, rec.det_scores, None)],
                           truncate=True)
     assert out[0].shape == (n,)          # aligned with the input order
-    assert np.all(out[0][32:] == 0.0)    # documented zero tail
-    assert np.any(out[0][:32] != 0.0)
+    # Truncation is SCORE-RANKED (api.py Rescorer._pack): the top-32
+    # detections by input score are rescored and scattered back to
+    # their original positions; the dropped (lowest-score) ones read
+    # exactly 0. Rescored values are sigmoids, never exactly 0.
+    keep = np.argsort(-rec.det_scores, kind="stable")[:32]
+    dropped = np.setdiff1d(np.arange(n), keep)
+    assert np.all(out[0][dropped] == 0.0)
+    assert np.all(out[0][keep] != 0.0)
 
 
 def test_per_batch_normalize_refused_on_data_sharded_mesh():

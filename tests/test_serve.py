@@ -295,13 +295,17 @@ def test_tcp_server_batches_interleaved_buckets():
     per-bucket open groups fix that). All requests are written before
     any reply is read, so both buckets' groups fill while the batcher
     waits; with per-bucket groups the 12 requests arrive in well under
-    12 batches."""
+    12 batches. min_window_ms pins the adaptive window at 500 ms (the
+    EMA would shrink it to sub-ms on this tiny CPU fixture, and on a
+    loaded machine arrival raggedness then degenerates to singleton
+    batches — this test is about grouping, not window adaptation)."""
     import json as _json
     import socket
 
     serve_mod, rescorer = _tcp_fixture(bucket_sizes=(8, 32))
     server = serve_mod.TcpServer(rescorer, port=0, threshold=0.0,
-                                 batch_size=6, window_ms=500.0).start()
+                                 batch_size=6, window_ms=500.0,
+                                 min_window_ms=500.0).start()
     rng = np.random.default_rng(1)
     try:
         with socket.create_connection(("127.0.0.1", server.port)) as s:
