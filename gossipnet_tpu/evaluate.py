@@ -19,7 +19,6 @@ from gossipnet_tpu.data.bucketing import eval_batches
 from gossipnet_tpu.data.roidb import Roidb
 from gossipnet_tpu.eval.cocoeval import COCOEvaluator
 from gossipnet_tpu.models.gossipnet import GossipNet
-from gossipnet_tpu.ops.nms import greedy_nms_np
 
 
 def sharded_forward_fn(cfg, mesh, params, interpret: bool | None = None):
@@ -160,17 +159,37 @@ def evaluate_greedy_nms(
 ) -> dict[str, float]:
     """Baseline: classic per-class GreedyNMS at the given threshold
     (the reference tunes this threshold; sweep externally)."""
-    keep_by_image = {}
+    return evaluate_greedy_nms_sweep(roidb, [iou_threshold])[0][1]
+
+
+def evaluate_greedy_nms_sweep(
+    roidb: Roidb, thresholds: Sequence[float]
+) -> list[tuple[float, dict[str, float]]]:
+    """GreedyNMS baseline stats at each threshold, sharing one IoU
+    matrix + score-ordered scan per (image, class) across the whole
+    sweep (:func:`greedy_nms_host`: native C++ scan when the .so is
+    loadable, shared-IoU numpy otherwise) — the tuned-baseline sweep
+    in one roidb pass instead of T."""
+    from gossipnet_tpu.ops.nms import greedy_nms_host
+
+    thr = np.asarray(list(thresholds), np.float64)
+    keeps: list[dict[int, np.ndarray]] = [{} for _ in thr]
     for rec in roidb:
-        keep_mask = np.zeros(rec.num_dets, bool)
+        keep_mask = np.zeros((len(thr), rec.num_dets), bool)
         for cls in np.unique(rec.det_classes):
             sel = np.where(rec.det_classes == cls)[0]
-            kept = greedy_nms_np(
-                rec.det_boxes[sel], rec.det_scores[sel], iou_threshold
+            kept = greedy_nms_host(
+                rec.det_boxes[sel], rec.det_scores[sel], thr
             )
-            keep_mask[sel[kept]] = True
-        keep_by_image[rec.image_id] = np.where(keep_mask)[0]
-    return _evaluator_for(roidb, keep_by_image=keep_by_image).summarize()
+            for k in range(len(thr)):
+                keep_mask[k, sel[kept[k]]] = True
+        for k in range(len(thr)):
+            keeps[k][rec.image_id] = np.where(keep_mask[k])[0]
+    return [
+        (float(thr[k]),
+         _evaluator_for(roidb, keep_by_image=keeps[k]).summarize())
+        for k in range(len(thr))
+    ]
 
 
 def main(argv=None) -> None:
@@ -297,11 +316,8 @@ def main(argv=None) -> None:
         "raw_scores": evaluate_raw_scores(roidb),
     }
     thrs = np.arange(0.3, 0.75, 0.05) if args.nms_sweep else [0.5]
-    best = None
-    for t in thrs:
-        s = evaluate_greedy_nms(roidb, float(t))
-        if best is None or s["AP"] > best[1]["AP"]:
-            best = (float(t), s)
+    best = max(evaluate_greedy_nms_sweep(roidb, [float(t) for t in thrs]),
+               key=lambda ts: ts[1]["AP"])
     out["greedy_nms"] = {"iou_threshold": best[0], **best[1]}
     print(_json.dumps(out, indent=2))
 

@@ -46,6 +46,69 @@ def greedy_nms_np(
     return np.asarray(keep, np.int64)
 
 
+def greedy_nms_multi_np(
+    boxes: np.ndarray, scores: np.ndarray, thresholds: np.ndarray
+) -> list[np.ndarray]:
+    """Greedy NMS keep-indices for MANY thresholds in one pass.
+
+    Equivalent to ``[greedy_nms_np(boxes, scores, t) for t in
+    thresholds]`` but computes the O(N^2) IoU matrix once and runs a
+    single score-ordered scan with a [T] threshold axis (a det can be
+    alive under one threshold and suppressed under another; the alive
+    mask per threshold gates who suppresses). This is what makes the
+    eval CLI's ``--nms-sweep`` baseline one IoU pass instead of T.
+    """
+    thresholds = np.asarray(thresholds, np.float64)
+    order = np.argsort(-scores, kind="stable")
+    b = boxes.astype(np.float64)[order]
+    n, t = len(order), len(thresholds)
+    if n == 0:
+        return [np.empty(0, np.int64) for _ in range(t)]
+    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    areas = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    # full IoU in sorted order, computed once
+    xx1 = np.maximum(x1[:, None], x1[None, :])
+    yy1 = np.maximum(y1[:, None], y1[None, :])
+    xx2 = np.minimum(x2[:, None], x2[None, :])
+    yy2 = np.minimum(y2[:, None], y2[None, :])
+    inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+    union = areas[:, None] + areas[None, :] - inter
+    iou = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+    suppressed = np.zeros((t, n), bool)
+    later = np.zeros(n, bool)
+    for i in range(n):
+        alive = ~suppressed[:, i]                      # [T]
+        if not alive.any():
+            continue
+        later[:] = False
+        later[i + 1:] = True
+        # thresholds where i survives suppress every LATER det whose
+        # IoU with i exceeds that threshold
+        supp = (alive[:, None]
+                & later[None, :]
+                & (iou[i][None, :] > thresholds[:, None]))
+        suppressed |= supp
+    return [order[~suppressed[k]] for k in range(t)]
+
+
+def greedy_nms_host(
+    boxes: np.ndarray, scores: np.ndarray, thresholds: np.ndarray
+) -> list[np.ndarray]:
+    """Host-side threshold sweep, fastest available implementation:
+    the native C++ scan (``native/gossip_native.cc::greedy_nms``,
+    ~25x the numpy loop at N=700) when the .so is loadable, else
+    :func:`greedy_nms_multi_np`. Keep sets are identical up to f32
+    rounding of IoU against the threshold (the C++ path compares in
+    f32; parity is pinned in tests/test_nms_sweep.py)."""
+    from gossipnet_tpu import native
+
+    if native.available():
+        return [native.greedy_nms(boxes, scores, float(t))
+                for t in thresholds]
+    return greedy_nms_multi_np(boxes, scores, thresholds)
+
+
 def greedy_nms(
     boxes: Array,
     scores: Array,

@@ -31,8 +31,8 @@ enable_compilation_cache()
 from gossipnet_tpu.config import (Config, DataConfig, LossConfig,
                                   MatchingConfig, ModelConfig, TrainConfig)
 from gossipnet_tpu.data.synthetic import crowd_roidb, synthetic_roidb
-from gossipnet_tpu.evaluate import (evaluate_greedy_nms, evaluate_model,
-                                    evaluate_raw_scores)
+from gossipnet_tpu.evaluate import (evaluate_greedy_nms_sweep,
+                                    evaluate_model, evaluate_raw_scores)
 from gossipnet_tpu.train import build_model, train
 
 FAMILIES = {
@@ -111,12 +111,11 @@ def main(argv=None):
     }
     if num_classes > 1:
         out["num_classes"] = num_classes
-    best = None
-    for t in np.arange(0.25, 0.75, 0.05):
-        s = evaluate_greedy_nms(val_db, float(t))
-        if best is None or s["AP"] > best[1]["AP"]:
-            best = (round(float(t), 2), s)
-    out["greedy_nms"] = {"thr": best[0], **best[1]}
+    t_best, s_best = max(
+        evaluate_greedy_nms_sweep(
+            val_db, [float(t) for t in np.arange(0.25, 0.75, 0.05)]),
+        key=lambda ts: ts[1]["AP"])
+    out["greedy_nms"] = {"thr": round(t_best, 2), **s_best}
     print(json.dumps(out, indent=2), flush=True)
     with open(f"{prefix}_results.json", "w") as f:
         json.dump(out, f)
