@@ -78,9 +78,18 @@ from gossipnet_tpu.ops.pallas.pairwise import (
 
 _EPS = 1e-6  # pf._EPS, the iou union clamp
 
-# Measurement-only experiment switches (GNET_PAIR_EXP=jexp1,validfold):
-# r4 VPU-gap candidates, kept env-gated so head-to-head timing never
-# forks the kernel. Not part of the public config.
+# Measurement-only experiment switches (GNET_PAIR_EXP=...), kept
+# env-gated so head-to-head timing never forks the kernel. Not part of
+# the public config. r4 outcomes (scripts/pair_exp.py, BENCHMARKS.md):
+#   jexp1       — one broadcast+tile over the stacked j-column plane;
+#                 measured NEUTRAL (-0.3%/+0.1%/-0.6% across regimes),
+#                 kept as a switch only.
+#   validfold   — fold pair validity into the iou feature; measured a
+#                 small consistent WIN (-1.2% dense4096, -3.0%
+#                 clustered1024) and simplifies the neighbor chain, so
+#                 it is now the DEFAULT; "novalidfold" restores the
+#                 unfused 3x cmp + 2x and chain (bitwise-identical,
+#                 pinned by tests/test_pair_exp_parity.py).
 import os as _os
 _EXP = frozenset(
     s for s in _os.environ.get("GNET_PAIR_EXP", "").split(",") if s)
@@ -318,11 +327,14 @@ def _tile_core(spec: PoolSpec2, ci_scr, colsJ_t, ti: int, tj: int):
                      0.0)
     inter = iw * ih
     union = iarea + jx["area"] - inter
-    if "validfold" in _EXP and spec.neighbor_iou > 0.0:
-        # r4 exp: fold the pair-validity gate into iou itself so the
-        # neighbor chain is mul+mul+cmp instead of cmp+cmp+cmp+and+and.
-        # Invalid pairs' iou FEATURE becomes 0 — harmless: their
-        # contribution is masked out of the max and their dpre2 is 0.
+    if "novalidfold" not in _EXP and spec.neighbor_iou > 0.0:
+        # Default (r4): fold the pair-validity gate into iou itself so
+        # the neighbor chain is mul+mul+cmp instead of
+        # cmp+cmp+cmp+and+and. Invalid pairs' iou FEATURE becomes 0 —
+        # harmless: their contribution is masked out of the max and
+        # their dpre2 is 0. Bitwise-identical to the unfused chain
+        # (valid flags are exactly 0.0/1.0; x*1 == x for f32) and
+        # measured slightly faster (BENCHMARKS.md r4).
         iou = (inter / jnp.maximum(union, _EPS)) * (ivalid * jx["valid"])
         neighbor = iou >= spec.neighbor_iou
     else:

@@ -1,18 +1,19 @@
 """Head-to-head timing for the GNET_PAIR_EXP kernel experiments (r4).
 
-The env-gated candidates (ops/pallas/pairwise2.py: "jexp1" = one
-broadcast+tile over the stacked [CJ, TJ] j-column plane instead of 8
-per-field expands; "validfold" = fold pair validity into the iou
-feature so the neighbor chain is mul+cmp instead of 3x cmp + 2x and)
-target the measured VPU elementwise gap (BENCHMARKS.md "speed of
-light": 3.1 us/tile vs the 1.36 us/tile MXU floor).
+OUTCOME (2026-08-19, BENCHMARKS.md): validity-folding won (-1.2%
+dense4096, -3.0% clustered1024) and is now the kernel DEFAULT; the
+old unfused neighbor chain is behind GNET_PAIR_EXP=novalidfold.
+"jexp1" (one broadcast+tile over the stacked [CJ, TJ] j-column plane
+instead of 8 per-field expands) measured neutral and stays a switch.
+Both targeted the measured VPU elementwise gap (BENCHMARKS.md "speed
+of light": ~3.1 us/tile vs the 1.36 us/tile MXU floor).
 
 GNET_PAIR_EXP is read at module import, so each setting needs a fresh
 process: this script measures ONE setting (from the env) over the
 three regimes that bound the kernel, using tile_sweep.py's marginal
 fori_loop methodology (min over 2 reps of (t24 - t6) / 18). Run via:
 
-    for e in "" jexp1 validfold jexp1,validfold; do
+    for e in "" jexp1 novalidfold jexp1,novalidfold; do
         GNET_PAIR_EXP=$e python scripts/pair_exp.py; done
 """
 import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))

@@ -1,14 +1,15 @@
 """The GNET_PAIR_EXP measurement switches must be semantics-preserving.
 
-ops/pallas/pairwise2.py gates two r4 VPU-gap experiments behind the
-GNET_PAIR_EXP env var ("jexp1" = single broadcast+tile over the stacked
-j-column plane; "validfold" = fold pair validity into the iou feature).
-They exist for head-to-head timing only — but if one ever wins and
-becomes the default, it must be provably exact first. jexp1 is a pure
-layout change (same lane order); validfold only alters the iou FEATURE
-of invalid pairs, which are excluded from the neighbor max, and for
-valid pairs multiplies by exactly 1.0f — so both must match the
-baseline kernel BITWISE, not just within tolerance.
+ops/pallas/pairwise2.py gates r4 VPU-gap experiments behind the
+GNET_PAIR_EXP env var. After the r4 head-to-head (scripts/pair_exp.py),
+validity-folding won and became the DEFAULT, so the switches are now
+"novalidfold" (restores the unfused 3x cmp + 2x and neighbor chain)
+and "jexp1" (single broadcast+tile over the stacked j-column plane,
+measured neutral). jexp1 is a pure layout change (same lane order);
+the validity fold only alters the iou FEATURE of invalid pairs, which
+are excluded from the neighbor max, and for valid pairs multiplies by
+exactly 1.0f — so every switch combination must match the default
+kernel BITWISE, not just within tolerance.
 
 _EXP is frozen at module import, so each setting runs in a fresh
 subprocess (CPU interpret mode, conftest-style env); the parent
@@ -89,7 +90,7 @@ def _run(exp: str, tmp_path: pathlib.Path) -> dict:
 @pytest.mark.slow
 def test_pair_exp_switches_are_bitwise_exact(tmp_path):
     base = _run("", tmp_path)
-    for exp in ("jexp1", "validfold", "jexp1,validfold"):
+    for exp in ("jexp1", "novalidfold", "jexp1,novalidfold"):
         got = _run(exp, tmp_path)
         for key in ("out", "loss", "da", "db"):
             same = np.array_equal(base[key], got[key])
