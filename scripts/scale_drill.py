@@ -198,7 +198,8 @@ DENSE_P = dict(gt_range=(30, 71), dets_per_gt=(10, 17),
 
 
 def full(train_steps=3000, lr=1e-3, schedule="constant", tag="full",
-         multiclass=False, prefix="", n_images=N_IMAGES, density=None):
+         multiclass=False, prefix="", n_images=N_IMAGES, density=None,
+         mt=False):
     """Full-budget config-2 training on the drill dataset (round 3).
 
     The 300-step OAT calibration (PARITY.md) left two open questions:
@@ -219,13 +220,18 @@ def full(train_steps=3000, lr=1e-3, schedule="constant", tag="full",
     ann = str(DATA / f"{prefix}annotations.json")
     det = str(DATA / f"{prefix}detections.json")
     ck = DATA / f"ck_{tag}"
+    # COCO-style multi-threshold matching (0.5:0.95) — +6.7 AP at full
+    # budget on the 75-dets drill (RESULTS.md); `mt` runs the same
+    # labels at reference density.
+    thr = ("[0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]"
+           if mt else "[0.5]")
     model = ("model: {num_blocks: 16, feature_dim: 128, reduced_dim: 32, "
              "pairwise_dim: 32, num_classes: 80, class_embed_dim: 32}\n"
-             "matching: {thresholds: [0.5], class_aware: true, "
+             f"matching: {{thresholds: {thr}, class_aware: true, "
              "crowd_as_ignore: true}\n" if multiclass else
              "model: {num_blocks: 16, feature_dim: 128, reduced_dim: 32, "
              "pairwise_dim: 32, num_classes: 1}\n"
-             "matching: {thresholds: [0.5], crowd_as_ignore: true}\n")
+             f"matching: {{thresholds: {thr}, crowd_as_ignore: true}}\n")
     y = _yaml(f"cfg_{tag}.yaml", (
         model
         + f"data:\n  dataset: coco\n  ann_file: {ann}\n  det_file: {det}\n"
@@ -399,11 +405,13 @@ if __name__ == "__main__":
         a = sys.argv[2:]
         mc = what == "dense80"
         schedule = a[2] if len(a) > 2 else "constant"
+        mt = "mt" in a[3:]
         tag = ("dense80" if mc else "densep") + (
-            "" if schedule == "constant" else f"_{schedule}")
+            "" if schedule == "constant" else f"_{schedule}") + (
+            "_mt" if mt else "")
         full(train_steps=int(a[0]) if a else 3000,
              lr=float(a[1]) if len(a) > 1 else 1e-3,
              schedule=schedule, tag=tag,
-             multiclass=mc,
+             multiclass=mc, mt=mt,
              prefix="dense_" if mc else "densep_",
              n_images=2000, density=DENSE if mc else DENSE_P)
