@@ -240,3 +240,20 @@ def test_pair_kernel_knob_selects_kernel():
         jaxprs.append(str(jax.make_jaxpr(fn)(scores)))
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-4)
     assert jaxprs[0] != jaxprs[1]
+
+
+# ------------------------------------------------ shipped experiment YAMLs
+def test_shipped_experiment_yamls_validate():
+    """Every experiments/*.yaml must load through the schema-validating
+    config path — catches knob drift in the shipped configs (a stale
+    key raises KeyError, an out-of-domain threshold raises ValueError).
+    """
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "experiments"
+    yamls = sorted(root.glob("*.yaml"))
+    assert len(yamls) >= 6, f"experiments/ looks incomplete: {yamls}"
+    for y in yamls:
+        cfg = load_config(str(y))
+        for t in cfg.matching.thresholds:
+            assert 0.0 < t <= 1.0
