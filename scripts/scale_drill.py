@@ -195,11 +195,19 @@ DENSE = dict(gt_range=(30, 71), dets_per_gt=(8, 15), fp_range=(80, 201))
 # per-image PERSON count in the 1024 bucket (~700 mean).
 DENSE_P = dict(gt_range=(30, 71), dets_per_gt=(10, 17),
                fp_range=(80, 201), person_p=0.95)
+# Config-4 regime: thousands of detections/image so the N=4096 bucket
+# dominates TRAINING (the serving/eval 4096 path is benched separately;
+# this proves the matching kernel + pair-kernel backward at N=4096
+# end to end). ~170 GT x ~13.5 dets + ~300 FPs => mean ~2600
+# person dets/image, tail above the 4096 cap.
+DENSE_4K = dict(gt_range=(120, 221), dets_per_gt=(10, 17),
+                fp_range=(200, 401), person_p=0.95)
 
 
 def full(train_steps=3000, lr=1e-3, schedule="constant", tag="full",
          multiclass=False, prefix="", n_images=N_IMAGES, density=None,
-         mt=False):
+         mt=False, batch_size=8, buckets="[256, 512, 1024]",
+         max_dets=1024):
     """Full-budget config-2 training on the drill dataset (round 3).
 
     The 300-step OAT calibration (PARITY.md) left two open questions:
@@ -237,11 +245,12 @@ def full(train_steps=3000, lr=1e-3, schedule="constant", tag="full",
         + f"data:\n  dataset: coco\n  ann_file: {ann}\n  det_file: {det}\n"
         f"  val_ann_file: {DATA / (prefix + 'val_annotations.json')}\n"
         f"  val_det_file: {DATA / (prefix + 'val_detections.json')}\n"
-        "  max_detections: 1024\n  bucket_sizes: [256, 512, 1024]\n"
+        f"  max_detections: {max_dets}\n  bucket_sizes: {buckets}\n"
         f"  person_only: {'false' if multiclass else 'true'}\n"
         f"train: {{optimizer: adam, learning_rate: {lr}, "
         f"lr_schedule: {schedule}, "
-        f"max_steps: {train_steps}, batch_size: 8, grad_clip_norm: 10.0, "
+        f"max_steps: {train_steps}, batch_size: {batch_size}, "
+        "grad_clip_norm: 10.0, "
         "snapshot_every: 1000, eval_every: 500, log_every: 100, "
         f"checkpoint_dir: {ck}}}\n"
     ))
@@ -415,3 +424,16 @@ if __name__ == "__main__":
              multiclass=mc, mt=mt,
              prefix="dense_" if mc else "densep_",
              n_images=2000, density=DENSE if mc else DENSE_P)
+    if what == "dense4k":
+        # dense4k [steps] [lr] [schedule] [mt]: config-4 TRAINING arm —
+        # N=4096-dominant bucketing at batch 2 (RESULTS.md).
+        a = sys.argv[2:]
+        schedule = a[2] if len(a) > 2 else "cosine"
+        mt = "mt" in a[3:]
+        tag = "dense4k" + ("" if schedule == "cosine" else f"_{schedule}"
+                           ) + ("_mt" if mt else "")
+        full(train_steps=int(a[0]) if a else 3000,
+             lr=float(a[1]) if len(a) > 1 else 1e-3,
+             schedule=schedule, tag=tag, mt=mt,
+             prefix="dense4k_", n_images=600, density=DENSE_4K,
+             batch_size=2, buckets="[1024, 2048, 4096]", max_dets=4096)
