@@ -323,7 +323,8 @@ def gen_pets(n_frames=800, seed=0, prefix=""):
           f"{DATA}/{prefix}pets_*", flush=True)
 
 
-def full_pets(train_steps=3000, lr=1e-3, schedule="cosine", tag="pets"):
+def full_pets(train_steps=3000, lr=1e-3, schedule="cosine", tag="pets",
+              mt=False):
     """Full-budget PETS-family run through the real-format loaders:
     CVML GT + MOT CSV dets via ``dataset: pets`` in both CLIs, val
     split on held-out frames, best-AP checkpointing, swept-NMS
@@ -333,10 +334,12 @@ def full_pets(train_steps=3000, lr=1e-3, schedule="cosine", tag="pets"):
     if not (DATA / "val_pets_gt.xml").exists():
         gen_pets(n_frames=200, seed=1, prefix="val_")
     ck = DATA / f"ck_{tag}"
+    thr = ("[0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]"
+           if mt else "[0.5]")
     y = _yaml(f"cfg_{tag}.yaml", (
         "model: {num_blocks: 16, feature_dim: 128, reduced_dim: 32, "
         "pairwise_dim: 32, num_classes: 1}\n"
-        "matching: {thresholds: [0.5]}\n"
+        f"matching: {{thresholds: {thr}}}\n"
         f"data:\n  dataset: pets\n  ann_file: {DATA / 'pets_gt.xml'}\n"
         f"  det_file: {DATA / 'pets_dets.csv'}\n"
         f"  val_ann_file: {DATA / 'val_pets_gt.xml'}\n"
@@ -402,10 +405,13 @@ if __name__ == "__main__":
              ("full80" if what == "full80" else "full"),
              multiclass=what == "full80")
     if what == "pets":
+        # pets [steps] [lr] [schedule] [mt]
         a = sys.argv[2:]
+        mt = "mt" in a[3:]
         full_pets(train_steps=int(a[0]) if a else 3000,
                   lr=float(a[1]) if len(a) > 1 else 1e-3,
-                  schedule=a[2] if len(a) > 2 else "cosine")
+                  schedule=a[2] if len(a) > 2 else "cosine",
+                  tag="pets_mt" if mt else "pets", mt=mt)
     if what in ("dense", "dense80"):
         # dense[80] [steps] [lr] [schedule]: reference-density arm
         # (VERDICT r3 item 7) — 300-1024 dets/image, N=1024 bucket
