@@ -167,9 +167,10 @@ def evaluate_greedy_nms_sweep(
 ) -> list[tuple[float, dict[str, float]]]:
     """GreedyNMS baseline stats at each threshold, sharing one IoU
     matrix + score-ordered scan per (image, class) across the whole
-    sweep (:func:`greedy_nms_host`: native C++ scan when the .so is
-    loadable, shared-IoU numpy otherwise) — the tuned-baseline sweep
-    in one roidb pass instead of T."""
+    sweep (:func:`greedy_nms_host`: native C++ ``greedy_nms_multi``
+    when the .so is loadable, shared-IoU numpy otherwise; both f64,
+    bit-identical keep sets) — the tuned-baseline sweep in one roidb
+    pass instead of T."""
     from gossipnet_tpu.ops.nms import greedy_nms_host
 
     thr = np.asarray(list(thresholds), np.float64)

@@ -32,7 +32,7 @@ def build(quiet: bool = True) -> bool:
         return False
 
 
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 
 def _load():
@@ -78,9 +78,13 @@ def _load():
         ]
         lib.greedy_match.restype = None
         lib.greedy_nms.argtypes = [
-            f32p, f32p, ctypes.c_int, ctypes.c_float, i32p,
+            f64p, f64p, ctypes.c_int, ctypes.c_double, i32p,
         ]
         lib.greedy_nms.restype = ctypes.c_int
+        lib.greedy_nms_multi.argtypes = [
+            f64p, f64p, ctypes.c_int, f64p, ctypes.c_int, i32p, i32p,
+        ]
+        lib.greedy_nms_multi.restype = None
         _lib = lib
     except OSError:
         _load_failed = True
@@ -145,13 +149,33 @@ def greedy_match(det_boxes, det_scores, det_valid, gt_boxes, gt_valid,
 
 
 def greedy_nms(boxes, scores, iou_threshold=0.5):
-    """Fast host NMS -> kept indices (descending score)."""
+    """Fast host NMS -> kept indices (descending score). All math is
+    f64 (ABI v3), bit-identical to ops/nms.py::greedy_nms_np."""
     lib = _load()
     n = len(scores)
     keep = np.zeros(n, np.int32)
     nk = lib.greedy_nms(
-        np.ascontiguousarray(boxes, np.float32),
-        np.ascontiguousarray(scores, np.float32),
+        np.ascontiguousarray(boxes, np.float64),
+        np.ascontiguousarray(scores, np.float64),
         n, float(iou_threshold), keep,
     )
     return keep[:nk].astype(np.int64)
+
+
+def greedy_nms_multi(boxes, scores, thresholds):
+    """Greedy-NMS keep indices for MANY thresholds sharing one IoU
+    pass (C++ mirror of ops/nms.py::greedy_nms_multi_np, f64
+    throughout -> bit-identical keep sets). Returns a list of [k_i]
+    int64 arrays, one per threshold, descending score order."""
+    lib = _load()
+    n, t = len(scores), len(thresholds)
+    keep = np.zeros((max(t, 1), n), np.int32)
+    nk = np.zeros(max(t, 1), np.int32)
+    lib.greedy_nms_multi(
+        np.ascontiguousarray(boxes, np.float64),
+        np.ascontiguousarray(scores, np.float64),
+        n,
+        np.ascontiguousarray(thresholds, np.float64),
+        t, keep, nk,
+    )
+    return [keep[i, :nk[i]].astype(np.int64) for i in range(t)]

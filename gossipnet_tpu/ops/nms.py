@@ -96,16 +96,18 @@ def greedy_nms_host(
     boxes: np.ndarray, scores: np.ndarray, thresholds: np.ndarray
 ) -> list[np.ndarray]:
     """Host-side threshold sweep, fastest available implementation:
-    the native C++ scan (``native/gossip_native.cc::greedy_nms``,
-    ~25x the numpy loop at N=700) when the .so is loadable, else
-    :func:`greedy_nms_multi_np`. Keep sets are identical up to f32
-    rounding of IoU against the threshold (the C++ path compares in
-    f32; parity is pinned in tests/test_nms_sweep.py)."""
+    the native C++ shared-IoU scan
+    (``native/gossip_native.cc::greedy_nms_multi``, one IoU pass for
+    all T thresholds, ~25x the numpy loop at N=700) when the .so is
+    loadable, else :func:`greedy_nms_multi_np`. Both paths compute in
+    f64 with the identical formula, so the keep sets are BIT-IDENTICAL
+    regardless of whether the native build is present (pinned in
+    tests/test_nms_sweep.py) — the swept-NMS baseline cannot depend on
+    the host."""
     from gossipnet_tpu import native
 
     if native.available():
-        return [native.greedy_nms(boxes, scores, float(t))
-                for t in thresholds]
+        return native.greedy_nms_multi(boxes, scores, thresholds)
     return greedy_nms_multi_np(boxes, scores, thresholds)
 
 

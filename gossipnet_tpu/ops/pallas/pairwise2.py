@@ -308,13 +308,17 @@ def _tile_core(spec: PoolSpec2, ci_scr, colsJ_t, ti: int, tj: int):
     """
     pk, tipk = spec.pk, ti // spec.pk
     if "jexp1" in _EXP:
-        # r4 exp: ONE broadcast+tile over the stacked [CJ, TJ] plane
-        # instead of 8 per-field _j_expand ops (same lane order).
+        # r4 exp: ONE broadcast+tile over the stacked [CJ(+cls), TJ]
+        # plane instead of 8-9 per-field _j_expand ops (same lane
+        # order). The multiclass class row rides the same expand (it
+        # is row len(_CJ_FIELDS) of colsJ_t) so it is not re-expanded
+        # below.
         nf = colsJ_t.shape[0]
+        names = list(_CJ_FIELDS) + ["cls"] * (nf - len(_CJ_FIELDS))
         jall = jnp.tile(
             jnp.broadcast_to(colsJ_t[:, None, :],
                              (nf, pk, colsJ_t.shape[-1])), (1, 1, tipk))
-        jx = {name: jall[c] for c, name in enumerate(_CJ_FIELDS)}
+        jx = {name: jall[c] for c, name in enumerate(names)}
     else:
         jx = {name: _j_expand(colsJ_t[c:c + 1, :], pk, tipk)
               for c, name in enumerate(_CJ_FIELDS)}
@@ -344,8 +348,8 @@ def _tile_core(spec: PoolSpec2, ci_scr, colsJ_t, ti: int, tj: int):
 
     feats = [iou, jx["cx"] * iinvw, jx["cy"] * iinvh]
     if spec.multiclass:
-        jcls = _j_expand(colsJ_t[len(_CJ_FIELDS):len(_CJ_FIELDS) + 1, :],
-                         pk, tipk)
+        jcls = jx["cls"] if "cls" in jx else _j_expand(
+            colsJ_t[len(_CJ_FIELDS):len(_CJ_FIELDS) + 1, :], pk, tipk)
         feats.append((ci_scr[8] == jcls).astype(jnp.float32))
     g8 = jnp.concatenate(feats, axis=0)                 # [K*pk, M~]
     return g8, neighbor

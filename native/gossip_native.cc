@@ -60,7 +60,8 @@ extern "C" {
 // native.py refuses to use a library whose version does not match, so
 // a stale prebuilt .so degrades to the numpy path instead of silently
 // reinterpreting buffers with the wrong element type.
-int gossip_abi_version() { return 2; }
+// v3: greedy_nms float->double + greedy_nms_multi (shared-IoU sweep).
+int gossip_abi_version() { return 3; }
 
 // COCO evaluation matching for one image, one class, all thresholds.
 // Inputs are PRE-SORTED: detections by descending score (capped at
@@ -175,26 +176,75 @@ void greedy_match(const float* det_boxes, const float* det_scores,
   }
 }
 
-// Classic greedy NMS. Returns number of kept indices written to `keep`.
-int greedy_nms(const float* boxes, const float* scores, int n,
-               float iou_threshold, int32_t* keep) {
+// Classic greedy NMS over MANY thresholds sharing ONE IoU pass.
+// Mirrors ops/nms.py::greedy_nms_multi_np bit-for-bit: all math in
+// double (so keep sets cannot depend on whether this .so is loadable —
+// the float32 v2 entry point made the --nms-sweep baseline
+// host-dependent), one stable descending-score scan, and each
+// surviving detection's IoU row computed once and applied to every
+// threshold where it is still alive. The per-threshold alive mask
+// gates who suppresses: a det suppressed at one threshold can still
+// suppress at another.
+//
+//   boxes [n*4] xyxy, scores [n], thresholds [t]
+// Outputs (caller-allocated):
+//   keep [t*n] kept ORIGINAL indices in descending-score order,
+//   nk   [t]   number of kept entries per threshold.
+void greedy_nms_multi(const double* boxes, const double* scores, int n,
+                      const double* thresholds, int t, int32_t* keep,
+                      int32_t* nk) {
+  for (int ti = 0; ti < t; ++ti) nk[ti] = 0;
+  if (n == 0 || t == 0) return;
   std::vector<int> order(n);
   std::iota(order.begin(), order.end(), 0);
   std::stable_sort(order.begin(), order.end(),
                    [&](int a, int b) { return scores[a] > scores[b]; });
-  std::vector<char> suppressed(n, 0);
-  int nk = 0;
+  // Boxes and areas in sorted order (identical formula to the numpy
+  // path: area = max(0, x2-x1) * max(0, y2-y1) in f64).
+  std::vector<double> b(size_t(n) * 4), areas(n);
   for (int k = 0; k < n; ++k) {
-    const int i = order[k];
-    if (suppressed[i]) continue;
-    keep[nk++] = i;
+    const double* src = boxes + 4 * order[k];
+    std::copy(src, src + 4, b.begin() + size_t(k) * 4);
+    areas[k] = box_area(src);
+  }
+  std::vector<char> suppressed(size_t(t) * n, 0);
+  std::vector<double> row(n);
+  for (int k = 0; k < n; ++k) {
+    bool any_alive = false;
+    for (int ti = 0; ti < t; ++ti)
+      any_alive |= !suppressed[size_t(ti) * n + k];
+    if (!any_alive) continue;
+    const double x1 = b[4 * k], y1 = b[4 * k + 1];
+    const double x2 = b[4 * k + 2], y2 = b[4 * k + 3];
     for (int l = k + 1; l < n; ++l) {
-      const int j = order[l];
-      if (suppressed[j]) continue;
-      if (overlap(boxes + 4 * i, boxes + 4 * j, false) > iou_threshold)
-        suppressed[j] = 1;
+      const double ix = std::max(
+          0.0, std::min(x2, b[4 * l + 2]) - std::max(x1, b[4 * l]));
+      const double iy = std::max(
+          0.0, std::min(y2, b[4 * l + 3]) - std::max(y1, b[4 * l + 1]));
+      const double inter = ix * iy;
+      const double uni = areas[k] + areas[l] - inter;
+      row[l] = uni > 0.0 ? inter / std::max(uni, 1e-12) : 0.0;
+    }
+    for (int ti = 0; ti < t; ++ti) {
+      if (suppressed[size_t(ti) * n + k]) continue;
+      const double thr = thresholds[ti];
+      char* sup = suppressed.data() + size_t(ti) * n;
+      for (int l = k + 1; l < n; ++l)
+        if (row[l] > thr) sup[l] = 1;
     }
   }
+  for (int ti = 0; ti < t; ++ti) {
+    const char* sup = suppressed.data() + size_t(ti) * n;
+    for (int k = 0; k < n; ++k)
+      if (!sup[k]) keep[size_t(ti) * n + nk[ti]++] = order[k];
+  }
+}
+
+// Single-threshold greedy NMS. Returns number of kept indices.
+int greedy_nms(const double* boxes, const double* scores, int n,
+               double iou_threshold, int32_t* keep) {
+  int32_t nk = 0;
+  greedy_nms_multi(boxes, scores, n, &iou_threshold, 1, keep, &nk);
   return nk;
 }
 

@@ -387,6 +387,21 @@ def eval5k():
     assert dt < 60.0, f"5k numpy-fallback eval took {dt:.1f}s (target <60s)"
 
 
+def _parse_arm_args(argv, default_schedule):
+    """Parse ``[steps] [lr] [schedule]`` with a literal ``mt`` flag
+    accepted at ANY position -> (steps, lr, schedule, mt). Extracting
+    'mt' before positional binding means `dense 3000 1e-3 mt` enables
+    multi-threshold matching instead of silently binding
+    schedule='mt' (which used to clobber the real mt arm's YAML and
+    crash only after minutes of dataset generation)."""
+    mt = "mt" in argv
+    a = [x for x in argv if x != "mt"]
+    return (int(a[0]) if a else 3000,
+            float(a[1]) if len(a) > 1 else 1e-3,
+            a[2] if len(a) > 2 else default_schedule,
+            mt)
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     if what in ("gen", "all"):
@@ -406,40 +421,30 @@ if __name__ == "__main__":
              multiclass=what == "full80")
     if what == "pets":
         # pets [steps] [lr] [schedule] [mt]
-        a = sys.argv[2:]
-        mt = "mt" in a[3:]
-        full_pets(train_steps=int(a[0]) if a else 3000,
-                  lr=float(a[1]) if len(a) > 1 else 1e-3,
-                  schedule=a[2] if len(a) > 2 else "cosine",
+        steps, lr, schedule, mt = _parse_arm_args(sys.argv[2:], "cosine")
+        full_pets(train_steps=steps, lr=lr, schedule=schedule,
                   tag="pets_mt" if mt else "pets", mt=mt)
     if what in ("dense", "dense80"):
-        # dense[80] [steps] [lr] [schedule]: reference-density arm
+        # dense[80] [steps] [lr] [schedule] [mt]: reference-density arm
         # (VERDICT r3 item 7) — 300-1024 dets/image, N=1024 bucket
         # dominant, full budget. Tag carries the schedule so arms never
         # collide on checkpoint dirs.
-        a = sys.argv[2:]
         mc = what == "dense80"
-        schedule = a[2] if len(a) > 2 else "constant"
-        mt = "mt" in a[3:]
+        steps, lr, schedule, mt = _parse_arm_args(sys.argv[2:],
+                                                  "constant")
         tag = ("dense80" if mc else "densep") + (
             "" if schedule == "constant" else f"_{schedule}") + (
             "_mt" if mt else "")
-        full(train_steps=int(a[0]) if a else 3000,
-             lr=float(a[1]) if len(a) > 1 else 1e-3,
-             schedule=schedule, tag=tag,
+        full(train_steps=steps, lr=lr, schedule=schedule, tag=tag,
              multiclass=mc, mt=mt,
              prefix="dense_" if mc else "densep_",
              n_images=2000, density=DENSE if mc else DENSE_P)
     if what == "dense4k":
         # dense4k [steps] [lr] [schedule] [mt]: config-4 TRAINING arm —
         # N=4096-dominant bucketing at batch 2 (RESULTS.md).
-        a = sys.argv[2:]
-        schedule = a[2] if len(a) > 2 else "cosine"
-        mt = "mt" in a[3:]
+        steps, lr, schedule, mt = _parse_arm_args(sys.argv[2:], "cosine")
         tag = "dense4k" + ("" if schedule == "cosine" else f"_{schedule}"
                            ) + ("_mt" if mt else "")
-        full(train_steps=int(a[0]) if a else 3000,
-             lr=float(a[1]) if len(a) > 1 else 1e-3,
-             schedule=schedule, tag=tag, mt=mt,
+        full(train_steps=steps, lr=lr, schedule=schedule, tag=tag, mt=mt,
              prefix="dense4k_", n_images=600, density=DENSE_4K,
              batch_size=2, buckets="[1024, 2048, 4096]", max_dets=4096)

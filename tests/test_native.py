@@ -84,6 +84,7 @@ def test_abi_version_guard(tmp_path, monkeypatch):
     # Simulate a stale build: point the loader at a copy of libc-like
     # object with no gossip_abi_version... simplest: monkeypatch the
     # expected version so the real lib 'mismatches'.
+    real_abi = native_mod._ABI_VERSION
     monkeypatch.setattr(native_mod, "_lib", None)
     monkeypatch.setattr(native_mod, "_load_failed", False)
     monkeypatch.setattr(native_mod, "_ABI_VERSION", 999)
@@ -94,5 +95,5 @@ def test_abi_version_guard(tmp_path, monkeypatch):
     # Restore and confirm the real version loads.
     monkeypatch.setattr(native_mod, "_lib", None)
     monkeypatch.setattr(native_mod, "_load_failed", False)
-    monkeypatch.setattr(native_mod, "_ABI_VERSION", 2)
+    monkeypatch.setattr(native_mod, "_ABI_VERSION", real_abi)
     assert native_mod._load() is not None

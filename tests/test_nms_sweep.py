@@ -62,12 +62,18 @@ def test_native_sweep_parity(rng):
     for n in (2, 40, 300):
         boxes = random_boxes(rng, n)
         scores = rng.uniform(0, 1, n).astype(np.float32)
+        ref = greedy_nms_multi_np(boxes, scores, THRESHOLDS)
+        # single-threshold entry point, one call per threshold
         fast = [native.greedy_nms(boxes, scores, float(t))
                 for t in THRESHOLDS]
-        ref = greedy_nms_multi_np(boxes, scores, THRESHOLDS)
-        for t, a, b in zip(THRESHOLDS, fast, ref):
+        # shared-IoU multi entry point (what greedy_nms_host uses):
+        # both are f64 end to end, so equality is exact, not approx
+        multi = native.greedy_nms_multi(boxes, scores, THRESHOLDS)
+        for t, a, m, b in zip(THRESHOLDS, fast, multi, ref):
             np.testing.assert_array_equal(
-                a, b, err_msg=f"native vs numpy at threshold {t}")
+                a, b, err_msg=f"native single vs numpy at {t}")
+            np.testing.assert_array_equal(
+                m, b, err_msg=f"native multi vs numpy at {t}")
 
 
 def test_sweep_helper_matches_pointwise(rng):

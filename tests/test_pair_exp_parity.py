@@ -66,8 +66,28 @@ def fwd(a, bb):
 out, grads = jax.value_and_grad(
     lambda a, bb: jnp.sum(jnp.tanh(fwd(a, bb))), argnums=(0, 1))(a, bb)
 full = fwd(a, bb)
+
+# multiclass leg: the class row rides the stacked j-plane under jexp1,
+# so its expand path must be covered too
+classes = jnp.asarray(np.random.default_rng(7).integers(0, 4, size=(b, n)))
+params_mc = _params(np.random.default_rng(1),
+                    num_features=pf.NUM_PAIR_FEATURES_MC)
+a_mc = r @ params_mc.wa + params_mc.b1
+bb_mc = r @ params_mc.wb
+
+def fwd_mc(a, bb):
+    return pallas_pair_pool_v2(
+        stacked, a, bb, params_mc, NEIGHBOR_IOU, classes=classes,
+        interpret=True, compute_dtype="float32")
+
+out_mc, grads_mc = jax.value_and_grad(
+    lambda a, bb: jnp.sum(jnp.tanh(fwd_mc(a, bb))),
+    argnums=(0, 1))(a_mc, bb_mc)
+full_mc = fwd_mc(a_mc, bb_mc)
 np.savez(%(out)r, out=np.asarray(full), loss=np.asarray(out),
-         da=np.asarray(grads[0]), db=np.asarray(grads[1]))
+         da=np.asarray(grads[0]), db=np.asarray(grads[1]),
+         mc_out=np.asarray(full_mc), mc_loss=np.asarray(out_mc),
+         mc_da=np.asarray(grads_mc[0]), mc_db=np.asarray(grads_mc[1]))
 print("OK")
 """
 
@@ -92,7 +112,8 @@ def test_pair_exp_switches_are_bitwise_exact(tmp_path):
     base = _run("", tmp_path)
     for exp in ("jexp1", "novalidfold", "jexp1,novalidfold"):
         got = _run(exp, tmp_path)
-        for key in ("out", "loss", "da", "db"):
+        for key in ("out", "loss", "da", "db",
+                    "mc_out", "mc_loss", "mc_da", "mc_db"):
             same = np.array_equal(base[key], got[key])
             assert same, (
                 f"GNET_PAIR_EXP={exp!r}: {key} differs from baseline "
