@@ -74,6 +74,15 @@ def test_native_sweep_parity(rng):
                 a, b, err_msg=f"native single vs numpy at {t}")
             np.testing.assert_array_equal(
                 m, b, err_msg=f"native multi vs numpy at {t}")
+    # degenerate inputs: empty detections, tied scores on identical boxes
+    out = native.greedy_nms_multi(np.zeros((0, 4), np.float32),
+                                  np.zeros(0, np.float32), THRESHOLDS)
+    assert all(len(k) == 0 for k in out)
+    boxes = np.repeat(np.array([[10, 10, 50, 50]], np.float32), 6, axis=0)
+    scores = np.full(6, 0.5, np.float32)
+    for m, b in zip(native.greedy_nms_multi(boxes, scores, THRESHOLDS),
+                    greedy_nms_multi_np(boxes, scores, THRESHOLDS)):
+        np.testing.assert_array_equal(m, b)
 
 
 def test_sweep_helper_matches_pointwise(rng):
