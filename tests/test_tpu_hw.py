@@ -201,6 +201,168 @@ def test_multiclass_forward_parity_on_chip():
                                rtol=2e-4, atol=2e-4)
 
 
+def _rect_problem(n, b=2, p=32, num_classes=0, seed=11):
+    """Clustered boxes + the pair-stage inputs (cols, a, b) at size n.
+
+    Mirrors tests/test_pallas_kernel2.py::test_v2_rect_parity but at
+    production-like sizes for the on-chip (Mosaic-compiled) runs.
+    """
+    from gossipnet_tpu.models.gossipnet import PairParams
+    from gossipnet_tpu.ops import pair_features as pf
+
+    rng = np.random.default_rng(seed)
+    centers_xy = rng.uniform(0, 800, size=(max(n // 8, 1), 2))
+    wh = rng.uniform(16, 96, size=(max(n // 8, 1), 2))
+    centers = np.concatenate([centers_xy, centers_xy + wh], axis=1)
+    all_boxes = []
+    for _ in range(b):
+        idx = rng.integers(0, len(centers), size=n)
+        bx = centers[idx] + rng.normal(0, 8.0, size=(n, 4))
+        bx[:, 2:] = np.maximum(bx[:, 2:], bx[:, :2] + 1.0)
+        all_boxes.append(bx.astype(np.float32))
+    boxes = jnp.asarray(np.stack(all_boxes))
+    scores = jnp.asarray(rng.uniform(0, 1, size=(b, n)).astype(np.float32))
+    valid = np.ones((b, n), bool)
+    valid[:, -n // 16:] = False                       # padding tail
+    valid = jnp.asarray(valid)
+    classes = (jnp.asarray(rng.integers(0, num_classes, size=(b, n)),
+                           jnp.int32) if num_classes else None)
+
+    nf = pf.NUM_PAIR_FEATURES_MC if num_classes else pf.NUM_PAIR_FEATURES
+    def w(*shape):
+        return jnp.asarray(
+            rng.normal(0, 0.5, size=shape).astype(np.float32))
+    params = PairParams(wa=w(p, p), wb=w(p, p), wg=w(nf, p),
+                        b1=w(p), w2=w(p, p), b2=w(p))
+    r = jnp.asarray(rng.normal(0, 1, size=(b, n, p)).astype(np.float32))
+    a = r @ params.wa + params.b1
+    bb = r @ params.wb
+    cols = pf.det_columns(boxes, scores, valid)
+    return cols, a, bb, params, classes
+
+
+def _rect_dense_oracle(cols, a, bb, params, classes=None):
+    from gossipnet_tpu.models.gossipnet import pair_pool_dense
+    from gossipnet_tpu.ops import pair_features as pf
+
+    g, mask = pf.dense_pair_tensor(cols, 0.2, classes=classes)
+    return pair_pool_dense(a, bb, params.wg, params.w2, params.b2, g, mask)
+
+
+def _rect_kernels():
+    from gossipnet_tpu.ops.pallas.pairwise import pallas_pair_pool_rect
+    from gossipnet_tpu.ops.pallas.pairwise2 import pallas_pair_pool_rect_v2
+
+    return {1: pallas_pair_pool_rect, 2: pallas_pair_pool_rect_v2}
+
+
+@pytest.mark.parametrize("pair_kernel", [1, 2])
+@pytest.mark.parametrize("block_sparse", [True, False])
+def test_rect_kernel_forward_parity_on_chip(pair_kernel, block_sparse):
+    """Mosaic-compiled RECT (det-sharded) kernels at nloc < N vs the
+    dense oracle — VERDICT r4 weak #1: every num_shards>1 execution
+    before this test was interpret-mode CPU; this is the first real
+    Mosaic compile+run of the rectangular grid. Rows = the SECOND half
+    (offset 512 of N=1024), matching what det-rank 1 of 2 computes in
+    parallel/spmd.py."""
+    from gossipnet_tpu.ops import pair_features as pf
+
+    n, nr, off = 1024, 512, 512
+    cols, a, bb, params, _ = _rect_problem(n)
+    dense = _rect_dense_oracle(cols, a, bb, params)
+    cs = pf.stack_columns(cols)
+    rect = _rect_kernels()[pair_kernel]
+    m = jax.jit(lambda cs, a, bb: rect(
+        cs[:, :, off:off + nr], cs, a[:, off:off + nr], bb, params, 0.2,
+        compute_dtype="float32", block_sparse=block_sparse,
+    ))(cs, a, bb)
+    np.testing.assert_allclose(np.asarray(dense[:, off:off + nr]),
+                               np.asarray(m), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("pair_kernel", [1, 2])
+def test_rect_kernel_grad_parity_on_chip(pair_kernel):
+    """Compiled rect-kernel custom-VJP backward at nloc < N vs dense
+    autodiff on the matching row slice (a/b/params grads). The b/wg/w2
+    grads sum over ALL rows of the rectangle — exactly the cotangent
+    flow the det-sharded train step relies on (spmd.py + psum)."""
+    from gossipnet_tpu.ops import pair_features as pf
+
+    n, nr, off = 512, 256, 0
+    cols, a, bb, params, _ = _rect_problem(n)
+    cs = pf.stack_columns(cols)
+    rect = _rect_kernels()[pair_kernel]
+
+    def loss_dense(a, bb, prm):
+        m = _rect_dense_oracle(cols, a, bb, prm)
+        return jnp.sum(jnp.sin(m[:, off:off + nr] * 0.7))
+
+    def loss_rect(a, bb, prm):
+        m = rect(cs[:, :, off:off + nr], cs, a[:, off:off + nr], bb,
+                 prm, 0.2, compute_dtype="float32")
+        return jnp.sum(jnp.sin(m * 0.7))
+
+    gd = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2)))(a, bb, params)
+    gr = jax.jit(jax.grad(loss_rect, argnums=(0, 1, 2)))(a, bb, params)
+    # dense's `a` grad covers all rows; the rect kernel only sees/needs
+    # the row slice — rows outside it must be exactly zero in dense too
+    # (the loss only reads that slice).
+    np.testing.assert_allclose(np.asarray(gd[0][:, off:off + nr]),
+                               np.asarray(gr[0][:, off:off + nr]),
+                               rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gd[1]), np.asarray(gr[1]),
+                               rtol=5e-3, atol=1e-4)
+    for f in gd[2]._fields:
+        x = np.asarray(getattr(gd[2], f))
+        y = np.asarray(getattr(gr[2], f))
+        sc = max(1.0, np.abs(x).max())
+        np.testing.assert_allclose(x, y, rtol=5e-3, atol=5e-3 * sc,
+                                   err_msg=f)
+
+
+@pytest.mark.parametrize("pair_kernel", [1, 2])
+def test_rect_kernel_multiclass_on_chip(pair_kernel):
+    """Compiled rect kernels with the class-aware pair feature at
+    nloc < N (the 80-class det-sharded serving path)."""
+    from gossipnet_tpu.ops import pair_features as pf
+
+    n, nr, off = 512, 256, 256
+    cols, a, bb, params, classes = _rect_problem(n, num_classes=7)
+    dense = _rect_dense_oracle(cols, a, bb, params, classes=classes)
+    cs = pf.stack_columns(cols)
+    rect = _rect_kernels()[pair_kernel]
+    m = jax.jit(lambda cs, a, bb, cl: rect(
+        cs[:, :, off:off + nr], cs, a[:, off:off + nr], bb, params, 0.2,
+        row_classes=cl[:, off:off + nr], col_classes=cl,
+        compute_dtype="float32",
+    ))(cs, a, bb, classes)
+    np.testing.assert_allclose(np.asarray(dense[:, off:off + nr]),
+                               np.asarray(m), rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_forward_body_on_chip_single_rank():
+    """gossipnet_sharded_forward's FULL body (Morton sort + rect kernel
+    + all-gather plumbing) compiled by real Mosaic at num_shards=1 on
+    one chip, vs the flax module — pins the exact code multi-chip runs,
+    minus only the collectives (which XLA inserts identically on any
+    topology)."""
+    from gossipnet_tpu.config import ModelConfig
+    from gossipnet_tpu.models.gossipnet import GossipNet
+    from gossipnet_tpu.parallel.spmd import gossipnet_sharded_forward
+
+    boxes, scores, valid, _ = _arrays(n=512, batch=2)
+    cfg = ModelConfig(num_blocks=2, feature_dim=64, reduced_dim=32,
+                      pairwise_dim=32, pair_matmul_dtype="float32")
+    model = GossipNet(cfg, pool_impl="pallas")
+    params = model.init(jax.random.key(0), boxes, scores, valid)["params"]
+    ref = jax.jit(model.apply)({"params": params}, boxes, scores, valid)
+    got = jax.jit(lambda p, bx, sc, vl: gossipnet_sharded_forward(
+        p, cfg, bx, sc, vl, num_shards=1, interpret=False,
+    ))(params, boxes, scores, valid)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_n4096_block_sparse_cross_kernel_on_chip():
     """The production serving shape (N=4096, block-sparse, Morton sort):
     the v1 and v2 kernels are independent implementations — compiled
