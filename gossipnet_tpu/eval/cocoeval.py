@@ -137,13 +137,47 @@ class _ImgResult:
     num_gt: int             # non-ignored GT count
 
 
+def _pr_curves(scores, matched, ignored, npig):
+    """PR curves for ONE class from its concatenated (image-major)
+    detection columns: stable desc-score sort, per-threshold cumulative
+    TP/FP, monotone precision envelope, 101-point sampling. Shared by
+    the per-image numpy path and the batched native path so both are
+    bit-identical by construction. Returns (precision [T, 101],
+    recall [T])."""
+    t = matched.shape[0]
+    precision = np.zeros((t, len(RECALL_THRS)))
+    recall = np.zeros(t)
+    order = np.argsort(-scores, kind="mergesort")
+    matched = matched[:, order]
+    ignored = ignored[:, order]
+    for ti in range(t):
+        m = matched[ti][~ignored[ti]]
+        tp = np.cumsum(m)
+        fp = np.cumsum(~m)
+        if len(tp) == 0:
+            continue
+        rc = tp / npig
+        pr = tp / np.maximum(tp + fp, 1e-12)
+        recall[ti] = rc[-1]
+        # Monotone-decreasing envelope, then 101-pt sampling.
+        pr = np.maximum.accumulate(pr[::-1])[::-1]
+        inds = np.searchsorted(rc, RECALL_THRS, side="left")
+        q = np.zeros(len(RECALL_THRS))
+        valid = inds < len(pr)
+        q[valid] = pr[inds[valid]]
+        precision[ti, :] = q
+    return precision, recall
+
+
 def _evaluate_combo(
     det_boxes, det_scores, det_area, ious,          # dets DESC-score sorted
     gt_boxes, gt_area, gt_crowd,
-    area_rng, max_det, use_native, is_all_area=False,
+    area_rng, max_det, is_all_area=False,
 ) -> _ImgResult | None:
     """One (area range, maxDet) cell from the shared per-(image, class)
-    sorted detections + IoU matrix.
+    sorted detections + IoU matrix — the pure-numpy REFERENCE path (the
+    batched C++ path in _evaluate_all_batch is differential-fuzzed
+    against it).
 
     ``is_all_area`` short-circuits the area tests ('all' covers every
     finite box, so gt_ignore == gt_crowd and no det is out of range).
@@ -166,25 +200,13 @@ def _evaluate_combo(
         # rule. Skip the permutation when nothing is ignored.
         if gt_ignore.any():
             gord = np.argsort(gt_ignore, kind="stable")
-            gt_s, gt_crowd_s, gt_ignore_s = (
-                gt_boxes[gord], gt_crowd[gord], gt_ignore[gord])
-            ious_s = None if use_native else ious[:, gord]
+            gt_crowd_s, gt_ignore_s = gt_crowd[gord], gt_ignore[gord]
+            ious_s = ious[:, gord]
         else:
-            gt_s, gt_crowd_s, gt_ignore_s, ious_s = (
-                gt_boxes, gt_crowd, gt_ignore, ious)
-        if use_native:
-            from gossipnet_tpu import native
-
-            # Hot path in C++ (native/gossip_native.cc eval_match) —
-            # same algorithm; bit-parity enforced by the differential
-            # fuzz test.
-            dt_matched, dt_ignore = native.eval_match(
-                det_boxes[:n], gt_s, gt_crowd_s, gt_ignore_s, IOU_THRS
-            )
-        else:
-            dt_matched, dt_ignore = match_image_np(
-                ious_s[:n], gt_crowd_s, gt_ignore_s, IOU_THRS
-            )
+            gt_crowd_s, gt_ignore_s, ious_s = gt_crowd, gt_ignore, ious
+        dt_matched, dt_ignore = match_image_np(
+            ious_s[:n], gt_crowd_s, gt_ignore_s, IOU_THRS
+        )
 
     # Unmatched detections outside the area range are ignored.
     if is_all_area:
@@ -219,6 +241,95 @@ def _prefix_result(r: _ImgResult | None, max_det: int) -> _ImgResult | None:
     )
 
 
+def _packed_eval(images, k, n_threads=1):
+    """Pack every (image, class) segment of ``images`` into flat arrays
+    and run ONE native eval_match_many call over all area ranges,
+    sharded over ``n_threads`` C++ threads INSIDE the library.
+
+    Host parallelism deliberately lives in the native layer, not in
+    Python processes: ``multiprocessing`` 'fork' deadlocks once jax's
+    threads exist (observed live — a forked eval worker hung the whole
+    test suite on a futex), and 'spawn' would re-import the CLI main
+    module (jax init per worker). C++ threads over disjoint output
+    slices have neither hazard and stay bit-identical at any thread
+    count (tests/test_cocoeval_fuzz.py).
+
+    Returns (seg_cls [S], num_gt [A, S], col_scores [C],
+    col_within [C], col_cls [C], dt_matched [A, T, C],
+    dt_ignore [A, T, C]) where S = segments, C = score-capped packed
+    detection columns in image-major order (the numpy path's exact
+    per-class concatenation order).
+    """
+    from gossipnet_tpu import native
+
+    db_p, ds_p, gb_p, gc_p = [], [], [], []
+    seg_cls_p, d_lo_p, d_hi_p, g_lo_p, g_hi_p = [], [], [], [], []
+    d_base = g_base = 0
+    for img in images:
+        # Same sort/group as the numpy path: one desc-score stable sort,
+        # then stable group-by-class (stable sorts compose).
+        dord = np.argsort(-img.det_scores, kind="stable")
+        dgrp = np.argsort(img.det_classes[dord], kind="stable")
+        dsel = dord[dgrp]
+        dcls_s = img.det_classes[dsel]
+        ggrp = np.argsort(img.gt_classes, kind="stable")
+        gcls_s = img.gt_classes[ggrp]
+        present = np.union1d(dcls_s, gcls_s)
+        keep = (present >= 0) & (present < k)
+        present = present[keep]
+        if len(present) == 0:
+            continue
+        d_lo_p.append(np.searchsorted(dcls_s, present, "left") + d_base)
+        d_hi_p.append(np.searchsorted(dcls_s, present, "right") + d_base)
+        g_lo_p.append(np.searchsorted(gcls_s, present, "left") + g_base)
+        g_hi_p.append(np.searchsorted(gcls_s, present, "right") + g_base)
+        seg_cls_p.append(present.astype(np.int64))
+        db_p.append(img.det_boxes[dsel])
+        ds_p.append(img.det_scores[dsel])
+        gb_p.append(img.gt_boxes[ggrp])
+        gc_p.append(img.gt_crowd[ggrp])
+        d_base += len(dcls_s)
+        g_base += len(gcls_s)
+
+    a, t = len(AREA_RANGES), len(IOU_THRS)
+    if not seg_cls_p:
+        z = np.zeros(0)
+        return (np.zeros(0, np.int64), np.zeros((a, 0), np.int32),
+                z, np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros((a, t, 0), bool), np.zeros((a, t, 0), bool))
+
+    db = np.concatenate(db_p).reshape(-1, 4)
+    ds = np.concatenate(ds_p)
+    gb = (np.concatenate(gb_p).reshape(-1, 4)
+          if g_base else np.zeros((0, 4)))
+    gc = (np.concatenate(gc_p) if g_base else np.zeros(0, bool))
+    seg_cls = np.concatenate(seg_cls_p)
+    d_lo = np.concatenate(d_lo_p).astype(np.int32)
+    d_hi = np.concatenate(d_hi_p).astype(np.int32)
+    g_lo = np.concatenate(g_lo_p).astype(np.int32)
+    g_hi = np.concatenate(g_hi_p).astype(np.int32)
+
+    max_det = max(MAX_DETS)
+    n_cap = np.minimum(d_hi - d_lo, max_det)
+    out_off = np.zeros(len(n_cap), np.int64)
+    np.cumsum(n_cap[:-1], out=out_off[1:])
+    c_tot = int(n_cap.sum())
+    # Per packed column: source det index, class, within-segment rank
+    # (the maxDet-1/10 caps are exact prefixes of the capped columns).
+    col2det = np.repeat(d_lo.astype(np.int64) - out_off, n_cap) \
+        + np.arange(c_tot)
+    col_cls = np.repeat(seg_cls, n_cap)
+    col_within = np.arange(c_tot) - np.repeat(out_off, n_cap)
+    area_ranges = np.asarray(list(AREA_RANGES.values()), np.float64)
+
+    dt_matched, dt_ignore, num_gt = native.eval_match_many(
+        db, _box_area(db), gb, _box_area(gb), gc,
+        d_lo, d_hi, g_lo, g_hi, IOU_THRS, area_ranges,
+        max_det, out_off.astype(np.int32), c_tot, n_threads=n_threads)
+    return (seg_cls, num_gt, ds[col2det], col_within, col_cls,
+            dt_matched, dt_ignore)
+
+
 @dataclass
 class COCOEvaluator:
     """Accumulates images and produces COCO AP/AR statistics.
@@ -234,6 +345,12 @@ class COCOEvaluator:
     images: list[EvalImage] = field(default_factory=list)
     # force_numpy=True disables the C++ fast path (tests/fuzzing).
     force_numpy: bool = False
+    # C++ threads for the batched native path: None = auto (cpu_count
+    # up to 8), 1 = serial, n = n std::threads inside eval_match_many.
+    # Output is bit-identical at any worker count (disjoint output
+    # slices per segment; pinned in tests/test_cocoeval_fuzz.py). Has
+    # no effect on the numpy fallback path (always serial).
+    workers: int | None = None
     _results: dict | None = field(default=None, repr=False)
 
     def add(self, img: EvalImage) -> None:
@@ -263,12 +380,23 @@ class COCOEvaluator:
 
     def _evaluate_all(self) -> dict:
         """{(area, maxDet): (precision [T, 101, K], recall [T, K])} for
-        every combo summarize() needs; IoU matrices and score sorts are
-        computed once per (image, class) and shared."""
+        every combo summarize() needs. Two implementations, bit-identical
+        (differential-fuzzed): the batched C++ path (one native call for
+        the whole image set, sharded over C++ threads) when the .so is
+        loadable, else the vectorized per-image numpy reference
+        path."""
         if self._results is not None:
             return self._results
+        if self._use_native():
+            self._results = self._evaluate_all_batch()
+        else:
+            self._results = self._evaluate_all_numpy()
+        return self._results
+
+    def _evaluate_all_numpy(self) -> dict:
+        """Pure-numpy reference path: IoU matrices and score sorts are
+        computed once per (image, class) and shared across combos."""
         t, k = len(IOU_THRS), self.num_classes
-        use_native = self._use_native()
         per_combo: dict = {c: [[] for _ in range(k)] for c in _COMBOS}
 
         for img in self.images:
@@ -304,13 +432,12 @@ class COCOEvaluator:
                 db, ds = db_s[dsl], ds_s[dsl]
                 gb, gc = gb_s[gsl], gc_s[gsl]
                 det_area, gt_area = det_area_s[dsl], gt_area_s[gsl]
-                ious = (None if use_native
-                        else _np_iou_xyxy(db, gb, gc))
+                ious = _np_iou_xyxy(db, gb, gc)
                 # 'all' area once at maxDet=100; the 1/10 caps are
                 # exact column prefixes (greedy is sequential in d).
                 r100 = _evaluate_combo(
                     db, ds, det_area, ious, gb, gt_area, gc,
-                    AREA_RANGES["all"], 100, use_native, is_all_area=True,
+                    AREA_RANGES["all"], 100, is_all_area=True,
                 )
                 if r100 is not None:
                     per_combo[("all", 100)][ci].append(r100)
@@ -339,7 +466,7 @@ class COCOEvaluator:
                     else:
                         r = _evaluate_combo(
                             db, ds, det_area, ious, gb, gt_area, gc,
-                            rng, 100, use_native,
+                            rng, 100,
                         )
                     if r is not None:
                         per_combo[(area, 100)][ci].append(r)
@@ -356,31 +483,66 @@ class COCOEvaluator:
                 if npig == 0:
                     continue
                 scores = np.concatenate([r.dt_scores for r in results])
-                order = np.argsort(-scores, kind="mergesort")
                 matched = np.concatenate(
-                    [r.dt_matched for r in results], axis=1)[:, order]
+                    [r.dt_matched for r in results], axis=1)
                 ignored = np.concatenate(
-                    [r.dt_ignore for r in results], axis=1)[:, order]
-                for ti in range(t):
-                    m = matched[ti][~ignored[ti]]
-                    tp = np.cumsum(m)
-                    fp = np.cumsum(~m)
-                    if len(tp) == 0:
-                        recall[ti, cls] = 0.0
-                        precision[ti, :, cls] = 0.0
-                        continue
-                    rc = tp / npig
-                    pr = tp / np.maximum(tp + fp, 1e-12)
-                    recall[ti, cls] = rc[-1]
-                    # Monotone-decreasing envelope, then 101-pt sampling.
-                    pr = np.maximum.accumulate(pr[::-1])[::-1]
-                    inds = np.searchsorted(rc, RECALL_THRS, side="left")
-                    q = np.zeros(len(RECALL_THRS))
-                    valid = inds < len(pr)
-                    q[valid] = pr[inds[valid]]
-                    precision[ti, :, cls] = q
+                    [r.dt_ignore for r in results], axis=1)
+                precision[:, :, cls], recall[:, cls] = _pr_curves(
+                    scores, matched, ignored, npig)
             out[combo] = (precision, recall)
-        self._results = out
+        return out
+
+    def _evaluate_all_batch(self) -> dict:
+        """Batched C++ path: pack every (image, class) segment into flat
+        arrays (one Python pass over images), run ONE
+        native.eval_match_many call — sharded over `workers` C++
+        threads inside the library — then accumulate the packed columns
+        per class with the shared _pr_curves math. Bit-identical to
+        _evaluate_all_numpy (differential-fuzzed)."""
+        t, k = len(IOU_THRS), self.num_classes
+        n_workers = self.workers
+        if n_workers is None:
+            import os
+
+            n_workers = min(os.cpu_count() or 1, 8)
+        (seg_cls, num_gt, col_scores, col_within, col_cls,
+         dt_matched, dt_ignore) = _packed_eval(
+            self.images, k, n_threads=max(n_workers, 1))
+
+        # Column selectors: class-grouped (stable => image-major within
+        # a class, exactly the numpy path's concatenation order).
+        csel = np.argsort(col_cls, kind="stable")
+        cls_sorted = col_cls[csel]
+        c_lo = np.searchsorted(cls_sorted, np.arange(k), side="left")
+        c_hi = np.searchsorted(cls_sorted, np.arange(k), side="right")
+        seg_has = np.zeros(k, bool)
+        if len(seg_cls):
+            seg_has[seg_cls] = True
+        npig_by = np.zeros((len(AREA_RANGES), k), np.int64)
+        for a in range(len(AREA_RANGES)):
+            if len(seg_cls):
+                np.add.at(npig_by[a], seg_cls, num_gt[a])
+
+        area_idx = {name: i for i, name in enumerate(AREA_RANGES)}
+        out = {}
+        for combo in _COMBOS:
+            area, max_det = combo
+            a = area_idx[area]
+            precision = -np.ones((t, len(RECALL_THRS), k))
+            recall = -np.ones((t, k))
+            for cls in range(k):
+                if not seg_has[cls]:
+                    continue
+                npig = int(npig_by[a, cls])
+                if npig == 0:
+                    continue
+                cols = csel[c_lo[cls]:c_hi[cls]]
+                if max_det < 100:
+                    cols = cols[col_within[cols] < max_det]
+                precision[:, :, cls], recall[:, cls] = _pr_curves(
+                    col_scores[cols], dt_matched[a][:, cols],
+                    dt_ignore[a][:, cols], npig)
+            out[combo] = (precision, recall)
         return out
 
     def _accumulate(

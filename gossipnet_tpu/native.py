@@ -32,7 +32,7 @@ def build(quiet: bool = True) -> bool:
         return False
 
 
-_ABI_VERSION = 3
+_ABI_VERSION = 5
 
 
 def _load():
@@ -85,6 +85,13 @@ def _load():
             f64p, f64p, ctypes.c_int, f64p, ctypes.c_int, i32p, i32p,
         ]
         lib.greedy_nms_multi.restype = None
+        lib.eval_match_many.argtypes = [
+            f64p, f64p, f64p, f64p, u8p,
+            i32p, i32p, i32p, i32p, ctypes.c_int,
+            f64p, ctypes.c_int, f64p, ctypes.c_int, ctypes.c_int,
+            i32p, ctypes.c_int, u8p, u8p, i32p, ctypes.c_int,
+        ]
+        lib.eval_match_many.restype = None
         _lib = lib
     except OSError:
         _load_failed = True
@@ -115,6 +122,49 @@ def eval_match(det_boxes, gt_boxes, gt_crowd, gt_ignore, thresholds):
         dt_matched, dt_ignore,
     )
     return dt_matched.astype(bool), dt_ignore.astype(bool)
+
+
+def eval_match_many(det_boxes, det_areas, gt_boxes, gt_areas, gt_crowd,
+                    d_lo, d_hi, g_lo, g_hi, thresholds, area_ranges,
+                    max_det, out_off, n_cap_tot, n_threads=1):
+    """Whole-roidb batched COCO matching (one C++ call for every
+    (image, class) segment x area range — see gossip_native.cc).
+
+    ``n_threads`` shards the independent segments over C++
+    std::threads INSIDE the library; results are bit-identical at any
+    thread count (disjoint output slices per segment). Host-process
+    parallelism deliberately lives here and not in Python: forking a
+    warm jax process deadlocks (multiprocessing 'fork' + jax threads).
+
+    Returns (dt_matched, dt_ignore [A, T, n_cap_tot] bool,
+    num_gt [A, n_seg] int32). Inputs must follow the packed layout
+    documented on the C++ entry; callers check :func:`available`."""
+    lib = _load()
+    n_seg = len(d_lo)
+    t, a = len(thresholds), len(area_ranges)
+    dt_matched = np.zeros((a, t, n_cap_tot), np.uint8)
+    dt_ignore = np.zeros((a, t, n_cap_tot), np.uint8)
+    num_gt = np.zeros((a, max(n_seg, 1)), np.int32)
+    if n_seg == 0:
+        return (dt_matched.astype(bool), dt_ignore.astype(bool),
+                num_gt[:, :0])
+    lib.eval_match_many(
+        np.ascontiguousarray(det_boxes, np.float64),
+        np.ascontiguousarray(det_areas, np.float64),
+        np.ascontiguousarray(gt_boxes, np.float64),
+        np.ascontiguousarray(gt_areas, np.float64),
+        np.ascontiguousarray(gt_crowd, np.uint8),
+        np.ascontiguousarray(d_lo, np.int32),
+        np.ascontiguousarray(d_hi, np.int32),
+        np.ascontiguousarray(g_lo, np.int32),
+        np.ascontiguousarray(g_hi, np.int32), n_seg,
+        np.ascontiguousarray(thresholds, np.float64), t,
+        np.ascontiguousarray(area_ranges, np.float64), a, int(max_det),
+        np.ascontiguousarray(out_off, np.int32), int(n_cap_tot),
+        dt_matched.reshape(-1), dt_ignore.reshape(-1),
+        num_gt.reshape(-1), int(n_threads),
+    )
+    return dt_matched.astype(bool), dt_ignore.astype(bool), num_gt
 
 
 def greedy_match(det_boxes, det_scores, det_valid, gt_boxes, gt_valid,

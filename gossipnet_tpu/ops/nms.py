@@ -103,7 +103,19 @@ def greedy_nms_host(
     f64 with the identical formula, so the keep sets are BIT-IDENTICAL
     regardless of whether the native build is present (pinned in
     tests/test_nms_sweep.py) — the swept-NMS baseline cannot depend on
-    the host."""
+    the host.
+
+    Precondition: scores must be FINITE. NaN scores would order
+    differently in the two sorts (np.argsort puts NaN last; the C++
+    ``scores[a] > scores[b]`` comparator leaves NaN in place), so the
+    host-independence guarantee only holds on its real domain —
+    detector scores — and this entry refuses anything else (ADVICE r4).
+    """
+    scores = np.asarray(scores)
+    if scores.size and not np.isfinite(scores).all():
+        raise ValueError(
+            "greedy_nms_host requires finite scores (NaN/inf break the "
+            "bit-identical native/numpy ordering guarantee)")
     from gossipnet_tpu import native
 
     if native.available():

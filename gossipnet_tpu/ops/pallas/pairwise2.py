@@ -314,6 +314,10 @@ def _tile_core(spec: PoolSpec2, ci_scr, colsJ_t, ti: int, tj: int):
         # is row len(_CJ_FIELDS) of colsJ_t) so it is not re-expanded
         # below.
         nf = colsJ_t.shape[0]
+        # At most ONE extra row (the multiclass class plane) may ride
+        # after _CJ_FIELDS: the jx dict below keys by name, so a second
+        # extra row would silently shadow the first (ADVICE r4).
+        assert nf <= len(_CJ_FIELDS) + 1, (nf, _CJ_FIELDS)
         names = list(_CJ_FIELDS) + ["cls"] * (nf - len(_CJ_FIELDS))
         jall = jnp.tile(
             jnp.broadcast_to(colsJ_t[:, None, :],

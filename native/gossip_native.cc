@@ -20,9 +20,11 @@
 // the framework works without the build step.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <numeric>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -51,6 +53,167 @@ inline double overlap(const T* det, const T* gt, bool crowd) {
   return denom > 0.0 ? inter / std::max(denom, 1e-12) : 0.0;
 }
 
+// Greedy COCO matching core shared by eval_match / eval_match_many.
+// `ious` is [n, g] in ORIGINAL gt order (crowd semantics baked in);
+// `perm` lists gt indices non-ignored-first (stable); `crowd`/`ign`
+// are in original order. Writes dt_matched / dt_ignore ([t, n],
+// caller-zeroed). Semantics == eval/cocoeval.py::match_image_np:
+// best still-available gt with IoU >= threshold, LAST sorted position
+// winning exact ties, crowd gts reusable, ignored gts eligible only
+// when no non-ignored gt clears the threshold.
+void match_perm(const double* ious, int n, int g, const int* perm,
+                const uint8_t* crowd, const uint8_t* ign,
+                const double* thresholds, int t, uint8_t* dt_matched,
+                uint8_t* dt_ignore) {
+  if (n == 0 || g == 0) return;
+  std::vector<char> gtm(size_t(t) * g, 0);
+  for (int ti = 0; ti < t; ++ti) {
+    const double floor = std::min(thresholds[ti], 1.0 - 1e-10);
+    for (int d = 0; d < n; ++d) {
+      int best = -1;  // position in perm order
+      double best_iou = floor;
+      for (int jj = 0; jj < g; ++jj) {
+        const int j = perm[jj];
+        if (gtm[size_t(ti) * g + jj] && !crowd[j]) continue;
+        // Holding a real match and reaching the ignored tail: stop.
+        if (best > -1 && !ign[perm[best]] && ign[j]) break;
+        const double o = ious[size_t(d) * g + j];
+        if (o < best_iou) continue;
+        best_iou = o;
+        best = jj;
+      }
+      if (best == -1) continue;
+      gtm[size_t(ti) * g + best] = 1;
+      dt_matched[size_t(ti) * n + d] = 1;
+      dt_ignore[size_t(ti) * n + d] = ign[perm[best]];
+    }
+  }
+}
+
+// Per-thread scratch for eval_match_many (reused across segments so a
+// worker allocates once, not per segment).
+struct EvalScratch {
+  std::vector<double> ious;
+  std::vector<int> perm;
+  std::vector<uint8_t> ign, ign0, m_buf, i_buf;
+  std::vector<char> oor;
+};
+
+// One (image, class) segment of eval_match_many: every area range,
+// writing the packed output columns [out_off[s], out_off[s]+n_cap_s)
+// and num_gt[a*n_seg + s]. All writes are DISJOINT across segments
+// (out_off is an exclusive cumsum of the capped segment widths), so
+// segments can run on any thread in any order with bit-identical
+// results — the parallel path needs no ordering or reduction.
+void eval_many_segment(
+    const double* det_boxes, const double* det_areas,
+    const double* gt_boxes, const double* gt_areas,
+    const uint8_t* gt_crowd, const int32_t* d_lo, const int32_t* d_hi,
+    const int32_t* g_lo, const int32_t* g_hi, int n_seg,
+    const double* thresholds, int t, const double* area_ranges,
+    int n_area, int max_det, const int32_t* out_off, int n_cap_tot,
+    uint8_t* dt_matched, uint8_t* dt_ignore, int32_t* num_gt, int s,
+    EvalScratch& sc) {
+  const int dlo = d_lo[s], glo = g_lo[s];
+  const int n_all = d_hi[s] - dlo, g = g_hi[s] - glo;
+  const int n = std::min(n_all, max_det);
+  const double* db = det_boxes + size_t(dlo) * 4;
+  const double* da = det_areas + dlo;
+  const double* gb = gt_boxes + size_t(glo) * 4;
+  const double* ga = gt_areas + glo;
+  const uint8_t* gc = gt_crowd + glo;
+  const int off = out_off[s];
+  // IoU once per segment (original gt order, crowd baked in), shared
+  // across all area ranges.
+  if (n > 0 && g > 0) {
+    sc.ious.assign(size_t(n) * g, 0.0);
+    for (int d = 0; d < n; ++d)
+      for (int j = 0; j < g; ++j)
+        sc.ious[size_t(d) * g + j] =
+            overlap(db + 4 * d, gb + 4 * j, gc[j] != 0);
+  }
+  sc.ign.assign(std::max(g, 1), 0);
+  sc.ign0.assign(std::max(g, 1), 0);
+  sc.perm.resize(std::max(g, 1));
+  sc.oor.assign(std::max(n, 1), 0);
+  // Area-0 ('all') match results, reused by any later area range
+  // whose gt_ignore mask comes out identical (same mask => same
+  // stable permutation => bit-identical matching).
+  sc.m_buf.assign(size_t(t) * std::max(n, 1), 0);
+  sc.i_buf.assign(size_t(t) * std::max(n, 1), 0);
+  for (int a = 0; a < n_area; ++a) {
+    const double lo = area_ranges[2 * a], hi = area_ranges[2 * a + 1];
+    int n_keep = 0;
+    for (int j = 0; j < g; ++j) {
+      sc.ign[j] = a == 0 ? gc[j]
+                         : uint8_t(gc[j] || ga[j] < lo || ga[j] > hi);
+      n_keep += !sc.ign[j];
+    }
+    num_gt[size_t(a) * n_seg + s] = n_keep;
+    if (n == 0) continue;
+    uint8_t* outm = dt_matched + size_t(a) * t * n_cap_tot;
+    uint8_t* outi = dt_ignore + size_t(a) * t * n_cap_tot;
+    if (a == 0) {
+      if (g > 0) {
+        int p = 0;  // stable non-ignored-first permutation
+        for (int j = 0; j < g; ++j)
+          if (!sc.ign[j]) sc.perm[p++] = j;
+        for (int j = 0; j < g; ++j)
+          if (sc.ign[j]) sc.perm[p++] = j;
+        match_perm(sc.ious.data(), n, g, sc.perm.data(), gc,
+                   sc.ign.data(), thresholds, t, sc.m_buf.data(),
+                   sc.i_buf.data());
+        sc.ign0 = sc.ign;
+      }
+      for (int ti = 0; ti < t; ++ti) {
+        std::memcpy(outm + size_t(ti) * n_cap_tot + off,
+                    sc.m_buf.data() + size_t(ti) * n, n);
+        std::memcpy(outi + size_t(ti) * n_cap_tot + off,
+                    sc.i_buf.data() + size_t(ti) * n, n);
+      }
+      continue;
+    }
+    for (int d = 0; d < n; ++d) sc.oor[d] = da[d] < lo || da[d] > hi;
+    const bool same_ign =
+        g > 0 && std::memcmp(sc.ign.data(), sc.ign0.data(), g) == 0;
+    const uint8_t* m_src;
+    const uint8_t* i_src;
+    std::vector<uint8_t> m1, i1;
+    if (g == 0) {
+      // No gts: nothing matches; out-of-range dets are ignored.
+      for (int ti = 0; ti < t; ++ti)
+        for (int d = 0; d < n; ++d)
+          outi[size_t(ti) * n_cap_tot + off + d] = sc.oor[d];
+      continue;
+    } else if (same_ign) {
+      m_src = sc.m_buf.data();
+      i_src = sc.i_buf.data();
+    } else {
+      m1.assign(size_t(t) * n, 0);
+      i1.assign(size_t(t) * n, 0);
+      int p = 0;
+      for (int j = 0; j < g; ++j)
+        if (!sc.ign[j]) sc.perm[p++] = j;
+      for (int j = 0; j < g; ++j)
+        if (sc.ign[j]) sc.perm[p++] = j;
+      match_perm(sc.ious.data(), n, g, sc.perm.data(), gc,
+                 sc.ign.data(), thresholds, t, m1.data(), i1.data());
+      m_src = m1.data();
+      i_src = i1.data();
+    }
+    for (int ti = 0; ti < t; ++ti) {
+      uint8_t* om = outm + size_t(ti) * n_cap_tot + off;
+      uint8_t* oi = outi + size_t(ti) * n_cap_tot + off;
+      const uint8_t* sm = m_src + size_t(ti) * n;
+      const uint8_t* si = i_src + size_t(ti) * n;
+      for (int d = 0; d < n; ++d) {
+        om[d] = sm[d];
+        oi[d] = uint8_t(si[d] || (!sm[d] && sc.oor[d]));
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -61,7 +224,9 @@ extern "C" {
 // a stale prebuilt .so degrades to the numpy path instead of silently
 // reinterpreting buffers with the wrong element type.
 // v3: greedy_nms float->double + greedy_nms_multi (shared-IoU sweep).
-int gossip_abi_version() { return 3; }
+// v4: eval_match_many (whole-roidb batched COCO matching).
+// v5: eval_match_many grows an n_threads arg (in-library threading).
+int gossip_abi_version() { return 5; }
 
 // COCO evaluation matching for one image, one class, all thresholds.
 // Inputs are PRE-SORTED: detections by descending score (capped at
@@ -89,28 +254,80 @@ void eval_match(const double* det_boxes, int n, const double* gt_boxes,
     for (int j = 0; j < g; ++j)
       ious[size_t(d) * g + j] =
           overlap(det_boxes + 4 * d, gt_boxes + 4 * j, gt_crowd[j] != 0);
+  // GTs arrive pre-sorted non-ignored-first: identity permutation.
+  std::vector<int> perm(std::max(g, 1));
+  std::iota(perm.begin(), perm.end(), 0);
+  match_perm(ious.data(), n, g, perm.data(), gt_crowd, gt_ignore,
+             thresholds, t, dt_matched, dt_ignore);
+}
 
-  std::vector<char> gtm(size_t(t) * std::max(g, 1), 0);
-  for (int ti = 0; ti < t; ++ti) {
-    const double thr = thresholds[ti];
-    for (int d = 0; d < n; ++d) {
-      int best = -1;
-      double best_iou = std::min(double(thr), 1.0 - 1e-10);
-      for (int j = 0; j < g; ++j) {
-        if (gtm[size_t(ti) * g + j] && !gt_crowd[j]) continue;
-        // Holding a real match and reaching the ignored tail: stop.
-        if (best > -1 && !gt_ignore[best] && gt_ignore[j]) break;
-        const double o = ious[size_t(d) * g + j];
-        if (o < best_iou) continue;
-        best_iou = o;
-        best = j;
-      }
-      if (best == -1) continue;
-      gtm[size_t(ti) * g + best] = 1;
-      dt_matched[size_t(ti) * n + d] = 1;
-      dt_ignore[size_t(ti) * n + d] = gt_ignore[best];
-    }
+// Whole-roidb batched COCO matching: every (image, class) segment x
+// every area range in ONE call — the per-call ctypes overhead of
+// eval_match dominated 80-class evals (~90% of a 2000-image summarize
+// was Python/ctypes marshalling over ~184k tiny calls). Mirrors the
+// numpy path (eval/cocoeval.py::_evaluate_all) bit-for-bit;
+// differential-fuzzed in tests/test_cocoeval_fuzz.py.
+//
+// Layout: segment s covers dets [d_lo[s], d_hi[s]) of the flat det
+// arrays (pre-sorted per segment by descending score, stable) and gts
+// [g_lo[s], g_hi[s]) (original per-class order, NOT ignored-sorted —
+// sorting happens here per area range). area_ranges is [n_area*2];
+// range 0 MUST be 'all': it uses gt_ignore = crowd and skips the
+// det out-of-range clause (pycocotools is_all_area semantics). For
+// a > 0, gt_ignore widens to crowd | area-out-of-range and unmatched
+// out-of-range dets are ignored. Only the first min(n, max_det) dets
+// per segment are evaluated; their columns land at
+// [out_off[s], out_off[s] + n_cap_s) of the packed outputs.
+//
+// Outputs (caller-allocated; zeroed here):
+//   dt_matched, dt_ignore [n_area * t * n_cap_tot] 0/1
+//   num_gt [n_area * n_seg] non-ignored GT count per (area, segment)
+void eval_match_many(
+    const double* det_boxes, const double* det_areas,
+    const double* gt_boxes, const double* gt_areas,
+    const uint8_t* gt_crowd, const int32_t* d_lo, const int32_t* d_hi,
+    const int32_t* g_lo, const int32_t* g_hi, int n_seg,
+    const double* thresholds, int t, const double* area_ranges,
+    int n_area, int max_det, const int32_t* out_off, int n_cap_tot,
+    uint8_t* dt_matched, uint8_t* dt_ignore, int32_t* num_gt,
+    int n_threads) {
+  std::memset(dt_matched, 0, size_t(n_area) * t * n_cap_tot);
+  std::memset(dt_ignore, 0, size_t(n_area) * t * n_cap_tot);
+  auto run_range = [&](int lo, int hi, EvalScratch& sc) {
+    for (int s = lo; s < hi; ++s)
+      eval_many_segment(det_boxes, det_areas, gt_boxes, gt_areas,
+                        gt_crowd, d_lo, d_hi, g_lo, g_hi, n_seg,
+                        thresholds, t, area_ranges, n_area, max_det,
+                        out_off, n_cap_tot, dt_matched, dt_ignore,
+                        num_gt, s, sc);
+  };
+  n_threads = std::max(1, std::min(n_threads, n_seg));
+  if (n_threads == 1) {
+    EvalScratch sc;
+    run_range(0, n_seg, sc);
+    return;
   }
+  // Parallelism lives HERE, not in Python: forking a warm jax process
+  // (multiprocessing 'fork' after jax threads exist) deadlocks — seen
+  // live when the full test suite forced workers>1 after earlier jax
+  // tests. Plain std::thread over an atomic segment counter has no
+  // such hazard, and output slices are disjoint per segment so the
+  // result is bit-identical at ANY thread count / schedule
+  // (tests/test_cocoeval_fuzz.py pins this).
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    EvalScratch sc;
+    // Chunked work-stealing: segments are tiny (one image-class), so
+    // grab a handful per fetch to keep the atomic off the hot path.
+    const int chunk = std::max(1, n_seg / (n_threads * 16));
+    for (int s; (s = next.fetch_add(chunk)) < n_seg;)
+      run_range(s, std::min(s + chunk, n_seg), sc);
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads - 1);
+  for (int i = 0; i < n_threads - 1; ++i) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
 }
 
 // Training-loss matching oracle: EXACT algorithm of the reference op

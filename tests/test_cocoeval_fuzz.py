@@ -100,6 +100,47 @@ def test_differential_fuzz_full_evaluator():
                                   evs[1].per_class_ap())
 
 
+@needs_native
+def test_batch_path_worker_count_invariant():
+    """The batched C++ path must be bit-identical at ANY worker count
+    (serial, 2, 3 C++ threads inside eval_match_many) AND to the numpy
+    reference — segments write disjoint packed-output slices, so the
+    thread schedule cannot matter. Includes empty images, det-only and
+    gt-only images, crowd GTs, and out-of-range class ids.
+
+    (Python-process sharding was deliberately rejected: a forked eval
+    worker deadlocked the full suite once jax threads existed.)"""
+    rng = np.random.default_rng(99)
+
+    def build(workers, force_numpy=False):
+        ev = COCOEvaluator(num_classes=4, workers=workers,
+                           force_numpy=force_numpy)
+        for i in range(60):
+            n = int(rng.integers(0, 50)) if i % 7 else 0
+            g = int(rng.integers(0, 8)) if i % 5 else 0
+            xy = rng.integers(0, 8, size=(n, 2)) * 12.0
+            wh = rng.integers(1, 8, size=(n, 2)) * 12.0
+            gxy = rng.integers(0, 8, size=(g, 2)) * 12.0
+            gwh = rng.integers(1, 8, size=(g, 2)) * 12.0
+            ev.add_arrays(
+                i,
+                det_boxes=np.concatenate([xy, xy + wh], 1),
+                det_scores=rng.integers(0, 20, size=n) / 20.0,
+                det_classes=rng.integers(0, 5, size=n),   # 4 = dropped
+                gt_boxes=np.concatenate([gxy, gxy + gwh], 1),
+                gt_classes=rng.integers(0, 5, size=g),
+                gt_crowd=rng.uniform(size=g) < 0.2,
+            )
+        return ev
+
+    rng = np.random.default_rng(99)
+    ref = build(workers=1, force_numpy=True).summarize()
+    for w in (1, 2, 3):
+        rng = np.random.default_rng(99)
+        got = build(workers=w).summarize()
+        assert got == ref, (w, got, ref)
+
+
 # ------------------------- adversarial hand-built interaction cases ----
 
 
