@@ -40,9 +40,36 @@ CAT_IDS = [1] + [i for i in range(2, 91) if i not in
                  (12, 26, 29, 30, 45, 66, 68, 69, 71, 83)][:79]
 
 
+def _max_iou_same_cat(bbox, cid, gts):
+    """Max IoU (xywh boxes) of one det vs an image's same-category GTs."""
+    best = 0.0
+    x1, y1 = bbox[0], bbox[1]
+    x2, y2 = bbox[0] + bbox[2], bbox[1] + bbox[3]
+    for gcid, g in gts:
+        if gcid != cid:
+            continue
+        gx2, gy2 = g[0] + g[2], g[1] + g[3]
+        ix = min(x2, gx2) - max(x1, g[0])
+        iy = min(y2, gy2) - max(y1, g[1])
+        if ix <= 0 or iy <= 0:
+            continue
+        inter = ix * iy
+        u = bbox[2] * bbox[3] + g[2] * g[3] - inter
+        if u > 0:
+            best = max(best, inter / u)
+    return best
+
+
 def gen(n_images=N_IMAGES, seed=0, prefix="",
         gt_range=(2, 22), dets_per_gt=(3, 8), fp_range=(10, 30),
-        person_p=0.3):
+        person_p=0.3, score_corr=0.0):
+    """score_corr (alpha, VERDICT r4 #3) blends detector scores with
+    localization quality: score = clip(alpha*maxIoU(det, same-cat GT)
+    + (1-alpha)*noise). alpha=0 reproduces the historical generator
+    BIT-FOR-BIT (same rng draw sequence; 0*iou + 1*noise == noise);
+    alpha~0.5-0.8 models a real detector whose raw scores already rank
+    informatively — the regime where learned rescoring has the least
+    headroom over swept GreedyNMS."""
     DATA.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
     cat_p = np.full(len(CAT_IDS), (1.0 - person_p) / (len(CAT_IDS) - 1))
@@ -55,6 +82,8 @@ def gen(n_images=N_IMAGES, seed=0, prefix="",
                        "height": CANVAS_H,
                        "file_name": f"drill_{img_id:06d}.jpg"})
         n_gt = int(rng.integers(*gt_range))
+        img_gts = []          # (cid, xywh) incl. crowds
+        pending = []          # (cid, xywh bbox, raw noise) dets
         for _ in range(n_gt):
             cid = int(rng.choice(CAT_IDS, p=cat_p))
             w = float(rng.uniform(12, 200)); h = float(rng.uniform(12, 200))
@@ -66,26 +95,33 @@ def gen(n_images=N_IMAGES, seed=0, prefix="",
                 "bbox": [x, y, w, h], "area": w * h, "iscrowd": crowd,
             })
             ann_id += 1
-            # detector dump: jittered dets per (non-crowd) GT
+            img_gts.append((cid, [x, y, w, h]))
+            # detector dump: jittered dets per (non-crowd) GT. Scores
+            # finalize at image end (all GTs known) — the rng draw
+            # sequence is unchanged, so alpha=0 is bit-for-bit.
             if not crowd:
                 for _ in range(int(rng.integers(*dets_per_gt))):
                     jit = rng.normal(0, 0.12 * min(w, h), size=4)
                     bw = max(w + jit[2], 4.0); bh = max(h + jit[3], 4.0)
-                    detections.append({
-                        "image_id": img_id, "category_id": cid,
-                        "bbox": [x + jit[0], y + jit[1], bw, bh],
-                        "score": float(np.clip(
-                            rng.normal(0.55, 0.22), 0.01, 0.999)),
-                    })
+                    pending.append((cid, [x + jit[0], y + jit[1], bw, bh],
+                                    float(rng.normal(0.55, 0.22))))
         # background false positives
         for _ in range(int(rng.integers(*fp_range))):
             cid = int(rng.choice(CAT_IDS, p=cat_p))
             w = float(rng.uniform(12, 160)); h = float(rng.uniform(12, 160))
+            pending.append((cid,
+                            [float(rng.uniform(0, CANVAS_W - w)),
+                             float(rng.uniform(0, CANVAS_H - h)), w, h],
+                            float(rng.normal(0.35, 0.2))))
+        for cid, bbox, noise in pending:
+            q = (_max_iou_same_cat(bbox, cid, img_gts)
+                 if score_corr else 0.0)
             detections.append({
                 "image_id": img_id, "category_id": cid,
-                "bbox": [float(rng.uniform(0, CANVAS_W - w)),
-                         float(rng.uniform(0, CANVAS_H - h)), w, h],
-                "score": float(np.clip(rng.normal(0.35, 0.2), 0.01, 0.999)),
+                "bbox": bbox,
+                "score": float(np.clip(
+                    score_corr * q + (1.0 - score_corr) * noise,
+                    0.01, 0.999)),
             })
 
     ann = {
@@ -388,18 +424,27 @@ def eval5k():
 
 
 def _parse_arm_args(argv, default_schedule):
-    """Parse ``[steps] [lr] [schedule]`` with a literal ``mt`` flag
-    accepted at ANY position -> (steps, lr, schedule, mt). Extracting
-    'mt' before positional binding means `dense 3000 1e-3 mt` enables
-    multi-threshold matching instead of silently binding
-    schedule='mt' (which used to clobber the real mt arm's YAML and
-    crash only after minutes of dataset generation)."""
+    """Parse ``[steps] [lr] [schedule]`` with a literal ``mt`` flag and
+    an ``alpha=X`` score-correlation knob accepted at ANY position ->
+    (steps, lr, schedule, mt, alpha). Extracting the flags before
+    positional binding means `dense 3000 1e-3 mt alpha=0.5` works in
+    any order instead of silently binding schedule='mt' (which used to
+    clobber the real mt arm's YAML and crash only after minutes of
+    dataset generation)."""
     mt = "mt" in argv
-    a = [x for x in argv if x != "mt"]
+    alpha = 0.0
+    a = []
+    for x in argv:
+        if x == "mt":
+            continue
+        if x.startswith("alpha="):
+            alpha = float(x[6:])
+            continue
+        a.append(x)
     return (int(a[0]) if a else 3000,
             float(a[1]) if len(a) > 1 else 1e-3,
             a[2] if len(a) > 2 else default_schedule,
-            mt)
+            mt, alpha)
 
 
 if __name__ == "__main__":
@@ -421,28 +466,36 @@ if __name__ == "__main__":
              multiclass=what == "full80")
     if what == "pets":
         # pets [steps] [lr] [schedule] [mt]
-        steps, lr, schedule, mt = _parse_arm_args(sys.argv[2:], "cosine")
+        steps, lr, schedule, mt, _ = _parse_arm_args(sys.argv[2:],
+                                                     "cosine")
         full_pets(train_steps=steps, lr=lr, schedule=schedule,
                   tag="pets_mt" if mt else "pets", mt=mt)
     if what in ("dense", "dense80"):
-        # dense[80] [steps] [lr] [schedule] [mt]: reference-density arm
-        # (VERDICT r3 item 7) — 300-1024 dets/image, N=1024 bucket
-        # dominant, full budget. Tag carries the schedule so arms never
-        # collide on checkpoint dirs.
+        # dense[80] [steps] [lr] [schedule] [mt] [alpha=X]:
+        # reference-density arm (VERDICT r3 item 7) — 300-1024
+        # dets/image, N=1024 bucket dominant, full budget. alpha=X
+        # (VERDICT r4 #3) blends scores with localization quality; the
+        # tag AND dataset prefix carry alpha so arms never collide on
+        # checkpoint dirs or generated files.
         mc = what == "dense80"
-        steps, lr, schedule, mt = _parse_arm_args(sys.argv[2:],
-                                                  "constant")
+        steps, lr, schedule, mt, alpha = _parse_arm_args(sys.argv[2:],
+                                                         "constant")
+        asuf = f"_a{int(round(alpha * 100)):02d}" if alpha else ""
         tag = ("dense80" if mc else "densep") + (
             "" if schedule == "constant" else f"_{schedule}") + (
-            "_mt" if mt else "")
+            "_mt" if mt else "") + asuf
+        density = dict(DENSE if mc else DENSE_P)
+        if alpha:
+            density["score_corr"] = alpha
         full(train_steps=steps, lr=lr, schedule=schedule, tag=tag,
              multiclass=mc, mt=mt,
-             prefix="dense_" if mc else "densep_",
-             n_images=2000, density=DENSE if mc else DENSE_P)
+             prefix=("dense" if mc else "densep") + asuf + "_",
+             n_images=2000, density=density)
     if what == "dense4k":
         # dense4k [steps] [lr] [schedule] [mt]: config-4 TRAINING arm —
         # N=4096-dominant bucketing at batch 2 (RESULTS.md).
-        steps, lr, schedule, mt = _parse_arm_args(sys.argv[2:], "cosine")
+        steps, lr, schedule, mt, _ = _parse_arm_args(sys.argv[2:],
+                                                     "cosine")
         tag = "dense4k" + ("" if schedule == "cosine" else f"_{schedule}"
                            ) + ("_mt" if mt else "")
         full(train_steps=steps, lr=lr, schedule=schedule, tag=tag, mt=mt,

@@ -69,3 +69,42 @@ def test_eval_batches_cover_once():
         ids.extend(b.image_ids.tolist())
     # all images present; duplicates only from tail padding
     assert {r.image_id for r in roidb.records} <= set(ids)
+
+
+def test_score_corr_zero_is_bitwise_default():
+    """score_corr=0.0 must reproduce the historical generator
+    BIT-FOR-BIT (VERDICT r4 #3): same rng draw sequence, and
+    0*iou + 1*noise == noise exactly — every quality margin measured
+    before the knob existed stays valid for the default."""
+    from gossipnet_tpu.data.synthetic import synthetic_record
+
+    a = synthetic_record(np.random.default_rng(7), 0, num_gt=12,
+                         dets_per_gt=5, num_clutter=9, num_classes=3)
+    b = synthetic_record(np.random.default_rng(7), 0, num_gt=12,
+                         dets_per_gt=5, num_clutter=9, num_classes=3,
+                         score_corr=0.0)
+    assert (a.det_scores == b.det_scores).all()
+    assert (a.det_boxes == b.det_boxes).all()
+    assert (a.det_classes == b.det_classes).all()
+    assert (a.gt_boxes == b.gt_boxes).all()
+
+
+def test_score_corr_controls_score_quality_correlation():
+    """Raising score_corr must raise the corr(score, maxIoU-vs-GT):
+    ~0 at the default, strongly positive at 0.8 — the knob that moves
+    the generator from the maximally-rescoring-favorable regime toward
+    a realistic detector whose raw ranking is informative."""
+    from gossipnet_tpu.data.synthetic import (_iou_one_many,
+                                              synthetic_record)
+
+    def corr(alpha):
+        rec = synthetic_record(np.random.default_rng(0), 0, num_gt=20,
+                               dets_per_gt=6, num_clutter=20,
+                               score_corr=alpha)
+        q = np.array([_iou_one_many(b, rec.gt_boxes)
+                      for b in rec.det_boxes])
+        return np.corrcoef(rec.det_scores, q)[0, 1]
+
+    assert abs(corr(0.0)) < 0.3
+    assert corr(0.5) > 0.5
+    assert corr(0.8) > 0.9
