@@ -201,6 +201,32 @@ def _merge_dataclass(dc: Any, overrides: Mapping[str, Any]) -> Any:
     return dataclasses.replace(dc, **updates)
 
 
+def experiment_path(name: str) -> str:
+    """Resolve a shipped experiment YAML by name in either layout.
+
+    Repo checkout: ``<repo>/experiments/<name>.yaml``. Installed wheel:
+    ``gossipnet_tpu/experiments/<name>.yaml`` (bundled by setup.py's
+    build_py hook — VERDICT r4 #5). Accepts the name with or without
+    the ``.yaml`` suffix; raises FileNotFoundError listing what IS
+    available otherwise.
+    """
+    from pathlib import Path
+
+    fname = name if name.endswith(".yaml") else f"{name}.yaml"
+    here = Path(__file__).resolve()
+    candidates = [here.parents[1] / "experiments" / fname,
+                  here.parent / "experiments" / fname]
+    for c in candidates:
+        if c.exists():
+            return str(c)
+    have: list[str] = []
+    for d in {c.parent for c in candidates}:
+        if d.is_dir():
+            have += sorted(p.stem for p in d.glob("*.yaml"))
+    raise FileNotFoundError(
+        f"no experiment {name!r}; available: {have or 'none'}")
+
+
 def load_config(path: str | None = None,
                 overrides: Mapping[str, Any] | None = None) -> Config:
     """Build a Config from defaults + optional YAML file + optional dict.

@@ -1,22 +1,46 @@
 """ctypes bindings for the host-side C++ library (native/gossip_native.cc).
 
-Loads ``native/libgossip_native.so`` if present (``make -C native``); all
-callers have pure-numpy fallbacks, so the build is optional. pybind11 is
-deliberately not used (not in the environment); the ABI is plain C.
+Resolution order (first hit wins; VERDICT r4 #5 — the library must load
+in INSTALLED layouts, not only a repo checkout):
+
+1. ``GOSSIP_NATIVE_LIB`` env var — explicit path override.
+2. Repo checkout: ``<repo>/native/libgossip_native.so``
+   (``make -C native``).
+3. Installed package: ``gossipnet_tpu/_gossip_native*.so`` — the
+   setuptools Extension built by setup.py (ctypes dlopens it directly;
+   no PyInit import needed).
+
+All callers have pure-numpy fallbacks, so a missing build degrades
+gracefully (but silently slower — the install smoke test pins that the
+wheel ships the fast path). pybind11 is deliberately not used (not in
+the environment); the ABI is plain C with a version handshake.
 """
 
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 from pathlib import Path
 
 import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parents[1] / "native"
-_LIB_PATH = _NATIVE_DIR / "libgossip_native.so"
 _lib = None
 _load_failed = False
+
+
+def _find_lib() -> Path | None:
+    env = os.environ.get("GOSSIP_NATIVE_LIB")
+    if env:
+        return Path(env)
+    repo = _NATIVE_DIR / "libgossip_native.so"
+    if repo.exists():
+        return repo
+    for cand in sorted(Path(__file__).resolve().parent.glob(
+            "_gossip_native*.so")):
+        return cand
+    return None
 
 
 def build(quiet: bool = True) -> bool:
@@ -39,11 +63,12 @@ def _load():
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not _LIB_PATH.exists():
+    lib_path = _find_lib()
+    if lib_path is None or not lib_path.exists():
         _load_failed = True
         return None
     try:
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib = ctypes.CDLL(str(lib_path))
         # ABI handshake: a stale prebuilt .so (e.g. the pre-r2 float32
         # eval_match) would silently reinterpret buffers with the wrong
         # element type; refuse anything but the exact expected version
@@ -57,7 +82,7 @@ def _load():
             import warnings
 
             warnings.warn(
-                f"{_LIB_PATH} has ABI {abi}, expected {_ABI_VERSION}; "
+                f"{lib_path} has ABI {abi}, expected {_ABI_VERSION}; "
                 "falling back to the numpy path — rebuild with "
                 "`make -C native`", RuntimeWarning)
             _load_failed = True

@@ -79,7 +79,7 @@ def test_abi_version_guard(tmp_path, monkeypatch):
 
     from gossipnet_tpu import native as native_mod
 
-    if not native_mod._LIB_PATH.exists():
+    if native_mod._find_lib() is None:
         pytest.skip("native lib not built")
     # Simulate a stale build: point the loader at a copy of libc-like
     # object with no gossip_abi_version... simplest: monkeypatch the
