@@ -85,6 +85,25 @@ def test_native_sweep_parity(rng):
         np.testing.assert_array_equal(m, b)
 
 
+def test_host_entry_refuses_nonfinite_scores(rng):
+    # greedy_nms_host's bit-identical native/numpy guarantee only holds
+    # on finite scores (np.argsort puts NaN last; the C++ comparator
+    # leaves NaN in place) — the entry must refuse, not silently
+    # diverge (ADVICE r4).
+    from gossipnet_tpu.ops.nms import greedy_nms_host
+
+    boxes = random_boxes(rng, 5)
+    for bad in (np.nan, np.inf, -np.inf):
+        scores = rng.uniform(0, 1, 5).astype(np.float32)
+        scores[2] = bad
+        with pytest.raises(ValueError, match="finite"):
+            greedy_nms_host(boxes, scores, THRESHOLDS)
+    # empty input passes the guard (no scores to check)
+    out = greedy_nms_host(np.zeros((0, 4), np.float32),
+                          np.zeros(0, np.float32), THRESHOLDS)
+    assert all(len(k) == 0 for k in out)
+
+
 def test_sweep_helper_matches_pointwise(rng):
     from gossipnet_tpu.data.synthetic import synthetic_roidb
     from gossipnet_tpu.evaluate import (evaluate_greedy_nms,
