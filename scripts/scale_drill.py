@@ -303,15 +303,20 @@ def full(train_steps=3000, lr=1e-3, schedule="constant", tag="full",
     print(json.dumps(out), flush=True)
 
 
-def gen_pets(n_frames=800, seed=0, prefix=""):
+def gen_pets(n_frames=800, seed=0, prefix="", score_corr=0.0):
     """Real-format PETS files: CVML XML ground truth (0-based frames,
     center-form boxes — the PETS2009 distribution schema) + MOT-style
     CSV detections (1-based frames, top-left boxes), deliberately
     exercising data/pets.py's frame-base auto-realignment. Crowd
     statistics follow the PETS surveillance regime: 768x576 frames,
     15-55 pedestrians partly in occluding rows, 4-9 jittered
-    detections per person with scores uncorrelated with localization
-    quality, plus background false positives."""
+    detections per person, plus background false positives.
+
+    score_corr (alpha) blends detector scores with localization
+    quality exactly like ``gen``: score = clip(alpha*maxIoU(det,
+    frame GTs) + (1-alpha)*noise). Scores finalize at frame end (all
+    GTs known) but the rng draw sequence is unchanged, so alpha=0
+    reproduces the historical generator BIT-FOR-BIT."""
     DATA.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
     W, H = 768, 576
@@ -322,6 +327,8 @@ def gen_pets(n_frames=800, seed=0, prefix=""):
         n_people = int(rng.integers(15, 56))
         placed = 0
         oid = 0
+        frame_gts = []   # (cat, xywh) for _max_iou_same_cat
+        pending = []     # (xywh bbox, raw noise) dets, frame order
         while placed < n_people:
             # occlusion row: 2-6 people shoulder-to-shoulder
             row = min(int(rng.integers(2, 7)), n_people - placed)
@@ -336,21 +343,27 @@ def gen_pets(n_frames=800, seed=0, prefix=""):
                            f'<box xc="{cx:.1f}" yc="{cy:.1f}" '
                            f'w="{w:.1f}" h="{h:.1f}"/>\n      </object>')
                 oid += 1
+                frame_gts.append((1, [cx - w / 2, cy - h / 2, w, h]))
                 for _ in range(int(rng.integers(4, 10))):
                     jit = rng.normal(0, 0.1 * w, size=4)
                     bw = max(w + jit[2], 6.0)
                     bh = max(h + jit[3], 12.0)
                     x = cx - w / 2 + jit[0]
                     y = cy - h / 2 + jit[1]
-                    s = float(np.clip(rng.normal(0.55, 0.22), 0.01, 0.999))
-                    csv.append(f"{fr + 1},-1,{x:.1f},{y:.1f},"
-                               f"{bw:.1f},{bh:.1f},{s:.3f}")
+                    pending.append(([x, y, bw, bh],
+                                    float(rng.normal(0.55, 0.22))))
             placed += row
         for _ in range(int(rng.integers(5, 20))):   # background FPs
             w = float(rng.uniform(18, 70)); h = float(rng.uniform(30, 130))
             x = float(rng.uniform(0, W - w)); y = float(rng.uniform(0, H - h))
-            s = float(np.clip(rng.normal(0.35, 0.2), 0.01, 0.999))
-            csv.append(f"{fr + 1},-1,{x:.1f},{y:.1f},{w:.1f},{h:.1f},{s:.3f}")
+            pending.append(([x, y, w, h], float(rng.normal(0.35, 0.2))))
+        for bbox, noise in pending:
+            q = (_max_iou_same_cat(bbox, 1, frame_gts)
+                 if score_corr else 0.0)
+            s = float(np.clip(score_corr * q + (1.0 - score_corr) * noise,
+                              0.01, 0.999))
+            csv.append(f"{fr + 1},-1,{bbox[0]:.1f},{bbox[1]:.1f},"
+                       f"{bbox[2]:.1f},{bbox[3]:.1f},{s:.3f}")
         xml.append("    </objectlist>\n  </frame>")
     xml.append("</dataset>")
     (DATA / f"{prefix}pets_gt.xml").write_text("\n".join(xml))
@@ -360,15 +373,18 @@ def gen_pets(n_frames=800, seed=0, prefix=""):
 
 
 def full_pets(train_steps=3000, lr=1e-3, schedule="cosine", tag="pets",
-              mt=False):
+              mt=False, alpha=0.0):
     """Full-budget PETS-family run through the real-format loaders:
     CVML GT + MOT CSV dets via ``dataset: pets`` in both CLIs, val
     split on held-out frames, best-AP checkpointing, swept-NMS
-    baseline — the crowd-benchmark analog of full()."""
-    if not (DATA / "pets_gt.xml").exists():
-        gen_pets()
-    if not (DATA / "val_pets_gt.xml").exists():
-        gen_pets(n_frames=200, seed=1, prefix="val_")
+    baseline — the crowd-benchmark analog of full(). alpha (score_corr)
+    prefixes the generated files so arms never collide."""
+    pre = f"a{int(round(alpha * 100)):02d}_" if alpha else ""
+    if not (DATA / f"{pre}pets_gt.xml").exists():
+        gen_pets(prefix=pre, score_corr=alpha)
+    if not (DATA / f"val_{pre}pets_gt.xml").exists():
+        gen_pets(n_frames=200, seed=1, prefix=f"val_{pre}",
+                 score_corr=alpha)
     ck = DATA / f"ck_{tag}"
     thr = ("[0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]"
            if mt else "[0.5]")
@@ -376,10 +392,10 @@ def full_pets(train_steps=3000, lr=1e-3, schedule="cosine", tag="pets",
         "model: {num_blocks: 16, feature_dim: 128, reduced_dim: 32, "
         "pairwise_dim: 32, num_classes: 1}\n"
         f"matching: {{thresholds: {thr}}}\n"
-        f"data:\n  dataset: pets\n  ann_file: {DATA / 'pets_gt.xml'}\n"
-        f"  det_file: {DATA / 'pets_dets.csv'}\n"
-        f"  val_ann_file: {DATA / 'val_pets_gt.xml'}\n"
-        f"  val_det_file: {DATA / 'val_pets_dets.csv'}\n"
+        f"data:\n  dataset: pets\n  ann_file: {DATA / (pre + 'pets_gt.xml')}\n"
+        f"  det_file: {DATA / (pre + 'pets_dets.csv')}\n"
+        f"  val_ann_file: {DATA / ('val_' + pre + 'pets_gt.xml')}\n"
+        f"  val_det_file: {DATA / ('val_' + pre + 'pets_dets.csv')}\n"
         "  max_detections: 1024\n  bucket_sizes: [256, 512, 1024]\n"
         f"train: {{optimizer: adam, learning_rate: {lr}, "
         f"lr_schedule: {schedule}, "
@@ -465,11 +481,13 @@ if __name__ == "__main__":
              ("full80" if what == "full80" else "full"),
              multiclass=what == "full80")
     if what == "pets":
-        # pets [steps] [lr] [schedule] [mt]
-        steps, lr, schedule, mt, _ = _parse_arm_args(sys.argv[2:],
-                                                     "cosine")
+        # pets [steps] [lr] [schedule] [mt] [alpha=X]
+        steps, lr, schedule, mt, alpha = _parse_arm_args(sys.argv[2:],
+                                                         "cosine")
+        asuf = f"_a{int(round(alpha * 100)):02d}" if alpha else ""
         full_pets(train_steps=steps, lr=lr, schedule=schedule,
-                  tag="pets_mt" if mt else "pets", mt=mt)
+                  tag=("pets_mt" if mt else "pets") + asuf, mt=mt,
+                  alpha=alpha)
     if what in ("dense", "dense80"):
         # dense[80] [steps] [lr] [schedule] [mt] [alpha=X]:
         # reference-density arm (VERDICT r3 item 7) — 300-1024
