@@ -84,10 +84,13 @@ def synthetic_record(
             box[3] = max(box[3], box[1] + 2.0)
             det_boxes.append(box)
             # Score: noise by default (deliberately NOT ranking by
-            # IoU); score_corr>0 blends in IoU vs the spawning GT.
+            # IoU); score_corr>0 blends in IoU vs the spawning GT
+            # (skipped at the alpha=0 default, where the blend
+            # multiplies it by 0.0 anyway).
             det_scores.append(_blend_score(
                 rng.uniform(0.3, 1.0),
-                _iou_one_many(box, gt_boxes[g:g + 1]), score_corr))
+                _iou_one_many(box, gt_boxes[g:g + 1]) if score_corr
+                else 0.0, score_corr))
             det_classes.append(gt_classes[g])
     for _ in range(num_clutter):
         xy = rng.uniform(0, 0.9 * canvas, size=2)
@@ -97,7 +100,8 @@ def synthetic_record(
         # Clutter quality = max IoU vs ANY GT (usually ~0, so at high
         # score_corr clutter scores low — like a real detector).
         det_scores.append(_blend_score(
-            rng.uniform(0.3, 1.0), _iou_one_many(box, gt_boxes),
+            rng.uniform(0.3, 1.0),
+            _iou_one_many(box, gt_boxes) if score_corr else 0.0,
             score_corr))
         det_classes.append(int(rng.integers(0, num_classes)))
 

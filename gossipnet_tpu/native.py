@@ -1,7 +1,7 @@
 """ctypes bindings for the host-side C++ library (native/gossip_native.cc).
 
-Resolution order (first hit wins; VERDICT r4 #5 — the library must load
-in INSTALLED layouts, not only a repo checkout):
+Resolution order (VERDICT r4 #5 — the library must load in INSTALLED
+layouts, not only a repo checkout):
 
 1. ``GOSSIP_NATIVE_LIB`` env var — explicit path override.
 2. Repo checkout: ``<repo>/native/libgossip_native.so``
@@ -10,8 +10,14 @@ in INSTALLED layouts, not only a repo checkout):
    setuptools Extension built by setup.py (ctypes dlopens it directly;
    no PyInit import needed).
 
-All callers have pure-numpy fallbacks, so a missing build degrades
-gracefully (but silently slower — the install smoke test pins that the
+A candidate that is missing, fails to dlopen, or fails the ABI
+handshake emits a RuntimeWarning and resolution FALLS THROUGH to the
+next candidate (e.g. a stale pre-v5 repo ``.so`` no longer shadows a
+freshly built installed extension, and a typo'd ``GOSSIP_NATIVE_LIB``
+no longer silently disables every fast path).
+
+All callers have pure-numpy fallbacks, so no usable build at all still
+degrades gracefully (but slower — the install smoke test pins that the
 wheel ships the fast path). pybind11 is deliberately not used (not in
 the environment); the ABI is plain C with a version handshake.
 """
@@ -30,16 +36,26 @@ _lib = None
 _load_failed = False
 
 
-def _find_lib() -> Path | None:
+def _candidates():
+    """Yield (origin, path) in resolution order. The env override is
+    always yielded (even if the path is missing) so _load can warn
+    about it instead of silently ignoring a typo."""
     env = os.environ.get("GOSSIP_NATIVE_LIB")
     if env:
-        return Path(env)
-    repo = _NATIVE_DIR / "libgossip_native.so"
-    if repo.exists():
-        return repo
+        yield "GOSSIP_NATIVE_LIB", Path(env)
+    yield "repo checkout", _NATIVE_DIR / "libgossip_native.so"
     for cand in sorted(Path(__file__).resolve().parent.glob(
             "_gossip_native*.so")):
-        return cand
+        yield "installed package", cand
+
+
+def _find_lib() -> Path | None:
+    """First EXISTING candidate path (diagnostics/tests). The loader
+    itself may fall through further if this one fails to dlopen or
+    fails the ABI handshake."""
+    for _, p in _candidates():
+        if p.exists():
+            return p
     return None
 
 
@@ -63,12 +79,22 @@ def _load():
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    lib_path = _find_lib()
-    if lib_path is None or not lib_path.exists():
-        _load_failed = True
-        return None
-    try:
-        lib = ctypes.CDLL(str(lib_path))
+    import warnings
+
+    for origin, lib_path in _candidates():
+        if not lib_path.exists():
+            if origin == "GOSSIP_NATIVE_LIB":
+                warnings.warn(
+                    f"GOSSIP_NATIVE_LIB={lib_path} does not exist; "
+                    "trying the default locations", RuntimeWarning)
+            continue
+        try:
+            lib = ctypes.CDLL(str(lib_path))
+        except OSError as e:
+            warnings.warn(
+                f"{lib_path} ({origin}) failed to load ({e}); trying "
+                "the next candidate", RuntimeWarning)
+            continue
         # ABI handshake: a stale prebuilt .so (e.g. the pre-r2 float32
         # eval_match) would silently reinterpret buffers with the wrong
         # element type; refuse anything but the exact expected version
@@ -79,48 +105,49 @@ def _load():
         except AttributeError:
             abi = -1
         if abi != _ABI_VERSION:
-            import warnings
-
             warnings.warn(
-                f"{lib_path} has ABI {abi}, expected {_ABI_VERSION}; "
-                "falling back to the numpy path — rebuild with "
-                "`make -C native`", RuntimeWarning)
-            _load_failed = True
-            return None
-        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-        lib.eval_match.argtypes = [
-            f64p, ctypes.c_int, f64p, u8p, u8p, ctypes.c_int,
-            f64p, ctypes.c_int, u8p, u8p,
-        ]
-        lib.eval_match.restype = None
-        lib.greedy_match.argtypes = [
-            f32p, f32p, u8p, ctypes.c_int, f32p, u8p, u8p, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_void_p, f32p, ctypes.c_int,
-            f32p, u8p, i32p,
-        ]
-        lib.greedy_match.restype = None
-        lib.greedy_nms.argtypes = [
-            f64p, f64p, ctypes.c_int, ctypes.c_double, i32p,
-        ]
-        lib.greedy_nms.restype = ctypes.c_int
-        lib.greedy_nms_multi.argtypes = [
-            f64p, f64p, ctypes.c_int, f64p, ctypes.c_int, i32p, i32p,
-        ]
-        lib.greedy_nms_multi.restype = None
-        lib.eval_match_many.argtypes = [
-            f64p, f64p, f64p, f64p, u8p,
-            i32p, i32p, i32p, i32p, ctypes.c_int,
-            f64p, ctypes.c_int, f64p, ctypes.c_int, ctypes.c_int,
-            i32p, ctypes.c_int, u8p, u8p, i32p, ctypes.c_int,
-        ]
-        lib.eval_match_many.restype = None
+                f"{lib_path} ({origin}) has ABI {abi}, expected "
+                f"{_ABI_VERSION}; trying the next candidate — rebuild "
+                "stale copies with `make -C native`", RuntimeWarning)
+            continue
+        _bind(lib)
         _lib = lib
-    except OSError:
-        _load_failed = True
-    return _lib
+        return _lib
+    _load_failed = True
+    return None
+
+
+def _bind(lib) -> None:
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.eval_match.argtypes = [
+        f64p, ctypes.c_int, f64p, u8p, u8p, ctypes.c_int,
+        f64p, ctypes.c_int, u8p, u8p,
+    ]
+    lib.eval_match.restype = None
+    lib.greedy_match.argtypes = [
+        f32p, f32p, u8p, ctypes.c_int, f32p, u8p, u8p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, f32p, ctypes.c_int,
+        f32p, u8p, i32p,
+    ]
+    lib.greedy_match.restype = None
+    lib.greedy_nms.argtypes = [
+        f64p, f64p, ctypes.c_int, ctypes.c_double, i32p,
+    ]
+    lib.greedy_nms.restype = ctypes.c_int
+    lib.greedy_nms_multi.argtypes = [
+        f64p, f64p, ctypes.c_int, f64p, ctypes.c_int, i32p, i32p,
+    ]
+    lib.greedy_nms_multi.restype = None
+    lib.eval_match_many.argtypes = [
+        f64p, f64p, f64p, f64p, u8p,
+        i32p, i32p, i32p, i32p, ctypes.c_int,
+        f64p, ctypes.c_int, f64p, ctypes.c_int, ctypes.c_int,
+        i32p, ctypes.c_int, u8p, u8p, i32p, ctypes.c_int,
+    ]
+    lib.eval_match_many.restype = None
 
 
 def available() -> bool:

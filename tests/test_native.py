@@ -72,6 +72,37 @@ def test_eval_match_drives_identical_ap(rng):
         assert np.isclose(with_native[k], without[k]), (k, with_native, without)
 
 
+def test_loader_falls_through_bad_candidates(tmp_path, monkeypatch):
+    """A typo'd GOSSIP_NATIVE_LIB or an unloadable .so must WARN and
+    fall through to the next candidate instead of silently disabling
+    every native fast path (r5 review finding)."""
+    import warnings
+
+    from gossipnet_tpu import native as native_mod
+
+    if native_mod._find_lib() is None:
+        pytest.skip("native lib not built")
+    # 1. env var points nowhere -> warn, fall through to the real lib.
+    monkeypatch.setenv("GOSSIP_NATIVE_LIB", str(tmp_path / "typo.so"))
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_load_failed", False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert native_mod._load() is not None
+    assert any("GOSSIP_NATIVE_LIB" in str(x.message) for x in w)
+    # 2. env var points at a non-library file -> dlopen fails, warn,
+    #    still fall through.
+    bad = tmp_path / "bad.so"
+    bad.write_text("not an ELF object")
+    monkeypatch.setenv("GOSSIP_NATIVE_LIB", str(bad))
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_load_failed", False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert native_mod._load() is not None
+    assert any("failed to load" in str(x.message) for x in w)
+
+
 def test_abi_version_guard(tmp_path, monkeypatch):
     """A library without the version handshake (or with a stale one)
     must be refused — a wrong-ABI .so silently reinterprets buffers."""
