@@ -227,6 +227,13 @@ class Rescorer:
                 f"(num_classes={self.cfg.model.num_classes}) requires "
                 "per-detection class ids; got classes=None"
             )
+        if classes is not None and len(classes) != len(scores):
+            # Caught here (not in _pack) so servers answer a per-request
+            # error instead of failing the whole co-batched group.
+            raise ValueError(
+                f"image {idx}: classes length {len(classes)} != "
+                f"detections {len(scores)}"
+            )
         max_bucket = max(self.cfg.data.bucket_sizes)
         if len(scores) > max_bucket and not truncate:
             raise ValueError(

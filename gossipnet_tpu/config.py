@@ -247,6 +247,15 @@ def load_config(path: str | None = None,
         cfg = _merge_dataclass(cfg, loaded)
     if overrides:
         cfg = _merge_dataclass(cfg, overrides)
+    if cfg.data.max_detections > max(cfg.data.bucket_sizes):
+        # Clamp rather than refuse: many configs shrink bucket_sizes and
+        # leave max_detections at its default. Loaders cap each image to
+        # max_detections BY SCORE; anything above the largest bucket
+        # would instead be truncated by make_batch's input-order prefix
+        # — silently dropping high-scoring detections and desyncing
+        # rescore_roidb's output length from the record's num_dets.
+        cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+            cfg.data, max_detections=max(cfg.data.bucket_sizes)))
     validate_config(cfg)
     return cfg
 
@@ -271,6 +280,16 @@ def validate_config(cfg: Config) -> None:
         raise ValueError(
             f"train.grad_accum_steps must be >= 1, got "
             f"{cfg.train.grad_accum_steps}")
+    if cfg.data.max_detections > max(cfg.data.bucket_sizes):
+        # Loaders cap each image to max_detections BY SCORE; anything
+        # still above the largest bucket would then be truncated by
+        # make_batch's input-order prefix — silently dropping
+        # high-scoring detections and desyncing rescore_roidb's output
+        # length from the record's num_dets.
+        raise ValueError(
+            f"data.max_detections={cfg.data.max_detections} exceeds the "
+            f"largest bucket {max(cfg.data.bucket_sizes)}; raise "
+            "data.bucket_sizes or lower data.max_detections")
     ew = cfg.model.pair_elementwise_dtype
     if ew not in ("float32", "bfloat16"):
         raise ValueError(f"pair_elementwise_dtype must be float32 or "

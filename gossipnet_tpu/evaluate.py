@@ -21,6 +21,9 @@ from gossipnet_tpu.eval.cocoeval import COCOEvaluator
 from gossipnet_tpu.models.gossipnet import GossipNet
 
 
+_SHARDED_INF_CACHE: dict = {}
+
+
 def sharded_forward_fn(cfg, mesh, params, interpret: bool | None = None):
     """(boxes, scores, valid, classes) -> sigmoid scores over the mesh.
 
@@ -29,10 +32,23 @@ def sharded_forward_fn(cfg, mesh, params, interpret: bool | None = None):
     eval and the eval CLI run SPMD instead of leaving every chip but
     one idle (VERDICT r2 #4). ``cfg.train.batch_size`` must tile the
     mesh 'data' axis — eval batches are always full-size.
+
+    The jitted executable is CACHED per (config, mesh): params flow in
+    as a call argument, so periodic train-time eval reuses one compiled
+    function across evals instead of paying a full retrace + compile
+    every ``eval_every`` steps.
     """
+    import json as _json
+
+    from gossipnet_tpu.config import config_to_dict
     from gossipnet_tpu.parallel.sharding import make_sharded_inference
 
-    fn = make_sharded_inference(cfg, mesh, interpret=interpret)
+    key = (mesh, interpret,
+           _json.dumps(config_to_dict(cfg), sort_keys=True, default=str))
+    fn = _SHARDED_INF_CACHE.get(key)
+    if fn is None:
+        fn = make_sharded_inference(cfg, mesh, interpret=interpret)
+        _SHARDED_INF_CACHE[key] = fn
 
     def forward(boxes, scores, valid, classes):
         n_data = mesh.shape["data"]
@@ -48,6 +64,34 @@ def sharded_forward_fn(cfg, mesh, params, interpret: bool | None = None):
         })
 
     return forward
+
+
+_LOCAL_FWD_CACHE: dict[int, tuple] = {}
+
+
+def _local_forward(model):
+    """Jitted (params, boxes, scores, valid, classes) -> sigmoid scores,
+    cached per model INSTANCE. Params are a call argument — closing
+    over them would bake the arrays into the jaxpr as constants and
+    force a full retrace on every periodic train-time eval (the model
+    object is stable across a training run; its params are not)."""
+    ent = _LOCAL_FWD_CACHE.get(id(model))
+    if ent is not None and ent[0] is model:
+        return ent[1]
+    multiclass = model.cfg.num_classes > 1
+
+    @jax.jit
+    def fwd(params, boxes, scores, valid, classes):
+        logits = model.apply(
+            {"params": params}, boxes, scores, valid,
+            classes if multiclass else None,
+        )
+        return jax.nn.sigmoid(logits)
+
+    if len(_LOCAL_FWD_CACHE) >= 8:   # bound: tests build many models
+        _LOCAL_FWD_CACHE.pop(next(iter(_LOCAL_FWD_CACHE)))
+    _LOCAL_FWD_CACHE[id(model)] = (model, fwd)
+    return fwd
 
 
 def rescore_roidb(
@@ -67,15 +111,10 @@ def rescore_roidb(
     ``model`` may be None when it is given.
     """
     if forward_fn is None:
-        multiclass = model.cfg.num_classes > 1
+        fwd = _local_forward(model)
 
-        @jax.jit
         def forward_fn(boxes, scores, valid, classes):
-            logits = model.apply(
-                {"params": params}, boxes, scores, valid,
-                classes if multiclass else None,
-            )
-            return jax.nn.sigmoid(logits)
+            return fwd(params, boxes, scores, valid, classes)
 
     out: dict[int, np.ndarray] = {}
     for batch in eval_batches(roidb, batch_size, bucket_sizes):

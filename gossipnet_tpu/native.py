@@ -60,16 +60,24 @@ def _find_lib() -> Path | None:
 
 
 def build(quiet: bool = True) -> bool:
-    """Build the shared library via make. Returns success."""
+    """Build the shared library via make. Returns success.
+
+    On success the load-failure latch is cleared: a process that
+    probed (and cached) a missing library before calling build() picks
+    the fresh .so up on the next :func:`available` call instead of
+    staying on the numpy fallbacks forever."""
+    global _load_failed
     try:
         subprocess.run(
             ["make", "-C", str(_NATIVE_DIR)],
             check=True,
             capture_output=quiet,
         )
-        return True
     except Exception:
         return False
+    if _lib is None:
+        _load_failed = False
+    return True
 
 
 _ABI_VERSION = 5

@@ -113,14 +113,43 @@ def serve_stream(rescorer: Rescorer, threshold: float,
     Default: double-buffered batching (max throughput; responses may
     trail requests by one batch). ``sync``: answer each request
     immediately (interactive latency, no batching).
+
+    A malformed request (bad JSON, missing/mismatched fields, more
+    detections than the largest bucket) gets an ``{"id", "error"}``
+    reply and the loop keeps serving — same contract as the TCP
+    server; one bad line must not kill every queued request behind it.
     """
+    def error(rid, msg):
+        out.write(json.dumps({"id": rid, "error": str(msg)[:200]}) + "\n")
+        out.flush()
+
     def requests():
         for line in inp:
             line = line.strip()
             if not line:
                 continue
-            req = json.loads(line)
+            try:
+                req = json.loads(line)
+            except ValueError as e:
+                error(None, f"bad json: {e}")
+                continue
+            if not isinstance(req, dict):
+                error(None, "request must be a JSON object")
+                continue
             yield req
+
+    def arrays(req):
+        """Parse + validate one request; ValueError -> error reply."""
+        boxes = np.asarray(req["boxes"], np.float32).reshape(-1, 4)
+        scores = np.asarray(req["scores"], np.float32)
+        classes = (np.asarray(req["classes"], np.int32)
+                   if "classes" in req else None)
+        if len(boxes) != len(scores):
+            raise ValueError(f"boxes/scores length mismatch: "
+                             f"{len(boxes)} vs {len(scores)}")
+        rescorer._check_image(req.get("id"), scores, classes,
+                              truncate=False)
+        return boxes, scores, classes
 
     def respond(req, idx, new_scores):
         keep = np.nonzero(new_scores > threshold)[0]
@@ -134,11 +163,11 @@ def serve_stream(rescorer: Rescorer, threshold: float,
     if sync:
         n = 0
         for idx, req in enumerate(requests()):
-            new_scores = rescorer(
-                np.asarray(req["boxes"], np.float32).reshape(-1, 4),
-                np.asarray(req["scores"], np.float32),
-                (np.asarray(req["classes"], np.int32)
-                 if "classes" in req else None))
+            try:
+                new_scores = rescorer(*arrays(req))
+            except (KeyError, ValueError, TypeError) as e:
+                error(req.get("id", idx), e)
+                continue
             respond(req, idx, new_scores)
             n += 1
         return n
@@ -148,12 +177,19 @@ def serve_stream(rescorer: Rescorer, threshold: float,
     reqs: dict = {}
 
     def images():
-        for i, req in enumerate(requests()):
-            reqs[i] = req
-            yield (np.asarray(req["boxes"], np.float32).reshape(-1, 4),
-                   np.asarray(req["scores"], np.float32),
-                   (np.asarray(req["classes"], np.int32)
-                    if "classes" in req else None))
+        k = 0
+        for req in requests():
+            try:
+                arr = arrays(req)
+            except (KeyError, ValueError, TypeError) as e:
+                error(req.get("id"), e)
+                continue
+            # Only accepted requests get a stream index —
+            # rescore_stream enumerates ITS input, so indices must
+            # cover exactly the yielded images.
+            reqs[k] = req
+            k += 1
+            yield arr
 
     n = 0
     for idx, new_scores in rescorer.rescore_stream(images()):
@@ -276,8 +312,18 @@ class TcpServer:
         self.sock = socket.create_server((host, port))
         self.port = self.sock.getsockname()[1]
         self.stats = {"images": 0, "batches": 0, "errors": 0, "shed": 0}
+        # Counters are bumped from reader, batcher, and replier threads;
+        # dict int += is a read-modify-write that drops increments when
+        # interleaved, so every mutation/read holds this lock.
+        import threading
+
+        self._stats_lock = threading.Lock()
         self._service_ema = {}   # bucket -> EMA device service time (s)
         self._queue = None
+
+    def _bump(self, key: str, by: int = 1) -> None:
+        with self._stats_lock:
+            self.stats[key] += by
 
     # -- internals --
     def _parse(self, req):
@@ -301,10 +347,12 @@ class TcpServer:
         """Operational counters for a `{"stats": true}` request: served
         images/batches/errors, mean batch size, and each bucket's
         service-time EMA + current adaptive window (ms)."""
-        images = self.stats["images"]
-        batches = self.stats["batches"]
+        with self._stats_lock:
+            stats = dict(self.stats)
+        images = stats["images"]
+        batches = stats["batches"]
         return {
-            **self.stats,
+            **stats,
             "mean_batch": round(images / batches, 3) if batches else None,
             "buckets": {
                 str(b): {"service_ema_ms": round(ema * 1e3, 2),
@@ -460,7 +508,7 @@ class TcpServer:
         stopped reading has a full TCP send buffer exactly when
         shedding fires, and a blocking send from the BATCHER thread
         would head-of-line-block batching for every other client."""
-        self.stats["shed"] += 1
+        self._bump("shed")
         self._inflight.put((self._SHED, item, waited_s, None))
 
     def _dispatch_group(self, bucket: int, group: list):
@@ -479,7 +527,7 @@ class TcpServer:
             # TCP buffer can't head-of-line-block batching) and keep
             # the slot semaphore balanced.
             self._slots.release()
-            self.stats["errors"] += len(group)
+            self._bump("errors", len(group))
             self._inflight.put((self._ERR, group, str(e), None))
             return
         # Backpressure comes from the slot semaphore (acquired by the
@@ -521,7 +569,7 @@ class TcpServer:
                 # keep serving.
                 self._slots.release()
                 self._queue.put(self._WAKE)
-                self.stats["errors"] += len(group)
+                self._bump("errors", len(group))
                 for client, lock, req, *_ in group:
                     self._send_err(client, lock, req,
                                    f"internal error: {e!s:.160}")
@@ -535,15 +583,15 @@ class TcpServer:
             # bound on service time; fine for a waiting heuristic.
             prev = self._service_ema.get(bucket, dt)
             self._service_ema[bucket] = 0.7 * prev + 0.3 * dt
-            self.stats["batches"] += 1
-            self.stats["images"] += len(group)
+            self._bump("batches")
+            self._bump("images", len(group))
             for (client, lock, req, *_), new_scores in zip(group, results):
                 try:
                     self._reply(client, lock, req, new_scores)
                 except Exception:   # noqa: BLE001 — one client's bad
                     # reply serialization must not take down the thread
                     # serving everyone else.
-                    self.stats["errors"] += 1
+                    self._bump("errors")
 
     def _client_loop(self, client):
         import socket
@@ -582,7 +630,7 @@ class TcpServer:
                         continue
                     image = self._parse(req)
                 except (ValueError, KeyError, TypeError) as e:
-                    self.stats["errors"] += 1
+                    self._bump("errors")
                     self._send_err(client, lock, req, str(e))
                     continue
                 self._queue.put((client, lock, req, image,
@@ -605,13 +653,13 @@ class TcpServer:
                 magic, rid, n, flags = struct.unpack("<IQII", head)
                 req = {"id": rid, "_bin": True}
                 if magic != BIN_MAGIC:
-                    self.stats["errors"] += 1
+                    self._bump("errors")
                     self._send_err(client, lock, req,
                                    f"bad frame magic 0x{magic:08x}")
                     return
                 if n > n_cap:
                     # Don't trust a wild length enough to read the body.
-                    self.stats["errors"] += 1
+                    self._bump("errors")
                     self._send_err(client, lock, req,
                                    f"frame n={n} exceeds cap {n_cap}")
                     return
@@ -630,7 +678,7 @@ class TcpServer:
                     self.rescorer._check_image(rid, scores, classes,
                                                truncate=False)
                 except ValueError as e:
-                    self.stats["errors"] += 1
+                    self._bump("errors")
                     self._send_err(client, lock, req, str(e))
                     continue
                 self._queue.put((client, lock, req,
@@ -754,12 +802,11 @@ def serve_file(rescorer: Rescorer, in_path: str, out_path: str,
                 f"detection file has category ids {sorted(unknown)[:10]} "
                 "not in the training category list; filter the file to "
                 "the model's categories first")
+    from gossipnet_tpu.data.roidb import _xywh_to_xyxy_np
+
     for img_id, idxs in sorted(by_image.items()):
-        b = np.asarray(
-            [dets[k]["bbox"] for k in idxs], np.float32).reshape(-1, 4)
-        boxes = b.copy()
-        boxes[:, 2] = b[:, 0] + b[:, 2]
-        boxes[:, 3] = b[:, 1] + b[:, 3]
+        boxes = _xywh_to_xyxy_np(
+            np.asarray([dets[k]["bbox"] for k in idxs], np.float32))
         scores = np.asarray([dets[k]["score"] for k in idxs], np.float32)
         classes = (np.asarray(
             [cat_to_label[int(dets[k]["category_id"])] for k in idxs],

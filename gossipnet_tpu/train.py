@@ -302,10 +302,18 @@ def train(
             # The mesh path runs each batch as one SPMD step: same
             # stream order, identical math; scanning is a single-device
             # host-dispatch amortization only.
-            metrics = None
+            mlist = []
             for b in group:
-                state, metrics = one_step(state, b)
-            return state, metrics
+                state, m = one_step(state, b)
+                mlist.append(m)
+            if len(mlist) == 1:
+                return state, mlist[0]
+            # Log the per-group MEAN like the scanned path does —
+            # otherwise the same config produces a last-batch-sample
+            # metric series on a mesh vs a group-mean series on a
+            # single device. tree_map stays lazy (no host sync here).
+            return state, jax.tree.map(
+                lambda *xs: jnp.mean(jnp.stack(xs)), *mlist)
         stacked = {
             k: jnp.asarray(np.stack([getattr(b, k) for b in group]))
             for k in ("boxes", "scores", "valid", "classes",

@@ -68,3 +68,66 @@ def test_evaluate_cli_best_checkpoint(tmp_path, capsys, monkeypatch):
     with pytest.raises(SystemExit, match="no best checkpoint"):
         eval_mod.main(["-c", str(cfg_file), "--pool-impl", "dense",
                        "--best", "--checkpoint-dir", str(tmp_path / "x")])
+
+
+def test_rescore_roidb_cached_forward_sees_fresh_params():
+    """rescore_roidb caches ONE jitted forward per model instance with
+    params as a call argument (r5 review: a fresh closure per call
+    retraced every periodic eval). The cache must never serve stale
+    params: two calls with different params through the same model must
+    differ, and repeated calls must reuse the cached executable."""
+    import jax
+    import numpy as np
+
+    from gossipnet_tpu.config import load_config
+    from gossipnet_tpu.data.synthetic import synthetic_roidb
+    from gossipnet_tpu.evaluate import _LOCAL_FWD_CACHE, rescore_roidb
+    from gossipnet_tpu.train import build_model
+
+    cfg = load_config(None, overrides={
+        "model": {"num_blocks": 1, "feature_dim": 16, "reduced_dim": 8,
+                  "pairwise_dim": 8},
+        "data": {"dataset": "synthetic", "bucket_sizes": [64]},
+    })
+    model = build_model(cfg, "dense")
+    roidb = synthetic_roidb(num_images=3, seed=0)
+    r = roidb.records[0]
+    params = model.init(
+        jax.random.key(0),
+        np.zeros((1, 64, 4), np.float32), np.zeros((1, 64), np.float32),
+        np.ones((1, 64), bool), None)["params"]
+
+    out1 = rescore_roidb(params, model, roidb, batch_size=2,
+                         bucket_sizes=(64,))
+    assert id(model) in _LOCAL_FWD_CACHE
+    fwd_before = _LOCAL_FWD_CACHE[id(model)][1]
+    # same params again -> identical outputs through the cached fn
+    out1b = rescore_roidb(params, model, roidb, batch_size=2,
+                          bucket_sizes=(64,))
+    assert _LOCAL_FWD_CACHE[id(model)][1] is fwd_before
+    np.testing.assert_array_equal(out1[r.image_id], out1b[r.image_id])
+    # perturbed params MUST change the output (no stale-constant bake-in)
+    params2 = jax.tree.map(lambda x: x + 0.05, params)
+    out2 = rescore_roidb(params2, model, roidb, batch_size=2,
+                         bucket_sizes=(64,))
+    assert not np.allclose(out1[r.image_id], out2[r.image_id])
+
+
+def test_load_config_clamps_max_detections_to_largest_bucket():
+    """max_detections above the largest bucket is clamped at load time:
+    loaders then cap BY SCORE, so make_batch can never truncate an
+    oversized image by input-order prefix (r5 review)."""
+    import pytest
+
+    from gossipnet_tpu.config import load_config, validate_config
+
+    cfg = load_config(None, overrides={
+        "data": {"bucket_sizes": [32, 64], "max_detections": 4096}})
+    assert cfg.data.max_detections == 64
+    # the unclamped combination is refused if validated directly
+    import dataclasses
+
+    raw = dataclasses.replace(cfg, data=dataclasses.replace(
+        cfg.data, max_detections=4096))
+    with pytest.raises(ValueError, match="max_detections"):
+        validate_config(raw)

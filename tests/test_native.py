@@ -72,6 +72,20 @@ def test_eval_match_drives_identical_ap(rng):
         assert np.isclose(with_native[k], without[k]), (k, with_native, without)
 
 
+def test_build_clears_load_failure_latch(monkeypatch):
+    """A probe before the library exists latches _load_failed; a later
+    successful build() must clear it so the process picks up the fresh
+    .so instead of running numpy fallbacks forever (r5 review)."""
+    from gossipnet_tpu import native as native_mod
+
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_load_failed", True)
+    assert native_mod.available() is False      # latched
+    assert native_mod.build()                   # make succeeds (no-op)
+    assert native_mod._load_failed is False     # latch cleared
+    assert native_mod.available() is True       # fresh load works
+
+
 def test_loader_falls_through_bad_candidates(tmp_path, monkeypatch):
     """A typo'd GOSSIP_NATIVE_LIB or an unloadable .so must WARN and
     fall through to the next candidate instead of silently disabling

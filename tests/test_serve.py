@@ -398,6 +398,77 @@ def test_tcp_server_busy_aware_batching():
         server.stop()
 
 
+@pytest.mark.parametrize("mode", ["batched", "sync"])
+def test_stream_survives_bad_requests(tmp_path, mode):
+    """The stdin JSON-lines loop must answer malformed requests with an
+    {"id", "error"} line and keep serving — one bad line used to raise
+    out of serve_stream and kill every queued request (r5 review)."""
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(
+        "model: {num_blocks: 1, feature_dim: 16, reduced_dim: 8,"
+        " pairwise_dim: 8}\n"
+        "data: {bucket_sizes: [32]}\n")
+    rng = np.random.default_rng(3)
+
+    def req(n, rid):
+        xy = rng.uniform(0, 100, (n, 2))
+        return {"id": rid,
+                "boxes": np.concatenate([xy, xy + 10], 1).tolist(),
+                "scores": rng.uniform(0, 1, n).tolist()}
+
+    missing = req(4, "missing")
+    del missing["scores"]
+    mismatch = req(4, "clslen")
+    mismatch["classes"] = [0, 1]             # shorter than scores
+    lines = [
+        "{not json",                          # parse error
+        json.dumps(missing),                  # KeyError
+        json.dumps(mismatch),                 # classes length mismatch
+        json.dumps(req(40, "big")),           # > largest bucket
+        json.dumps(req(5, "ok")),             # must still be served
+    ]
+    extra = ["--sync"] if mode == "sync" else []
+    r = _run(["-c", str(cfg), "--threshold", "0.0", *extra],
+             "\n".join(lines) + "\n", tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = [json.loads(x) for x in r.stdout.strip().splitlines()]
+    errs = [o for o in out if "error" in o]
+    oks = [o for o in out if "error" not in o]
+    assert len(errs) == 4, out
+    assert {o.get("id") for o in errs} == {None, "missing", "clslen", "big"}
+    assert len(oks) == 1 and oks[0]["id"] == "ok"
+    assert len(oks[0]["new_scores"]) == 5
+    assert "served 1 images" in r.stderr
+
+
+def test_tcp_server_rejects_classes_length_mismatch():
+    """A JSON request whose classes array is shorter than scores must be
+    refused at parse time with a per-request error — reaching _pack
+    would broadcast-fail and error-reply the whole co-batched group
+    (r5 review)."""
+    import json as _json
+    import socket
+
+    serve_mod, rescorer = _tcp_fixture(bucket_sizes=(32,))
+    server = serve_mod.TcpServer(rescorer, port=0, threshold=0.0,
+                                 window_ms=2.0).start()
+    rng = np.random.default_rng(5)
+    try:
+        with socket.create_connection(("127.0.0.1", server.port)) as s:
+            f = s.makefile("r")
+            bad = _req(rng, 4, "clslen")
+            bad["classes"] = [0, 1]
+            s.sendall((_json.dumps(bad) + "\n").encode())
+            resp = _json.loads(f.readline())
+            assert resp["id"] == "clslen" and "error" in resp, resp
+            ok = _req(rng, 4, "ok")
+            s.sendall((_json.dumps(ok) + "\n").encode())
+            resp = _json.loads(f.readline())
+            assert "error" not in resp and len(resp["new_scores"]) == 4
+    finally:
+        server.stop()
+
+
 def test_tcp_server_survives_bad_requests():
     """Unservable requests (oversized, length mismatch, bad JSON) get an
     error reply on the same connection and MUST NOT kill the pipeline:
