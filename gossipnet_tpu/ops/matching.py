@@ -127,6 +127,8 @@ def greedy_match(
         same_class = det_classes[:, None] == gt_classes[None, :]  # [N, G]
         iou = jnp.where(same_class, iou, 0.0)
         iof = jnp.where(same_class, iof, 0.0)
+    else:
+        same_class = jnp.ones((n, g), bool)
 
     # Crowd overlap uses IoF (how much of the detection is inside the crowd
     # region), pycocotools iscrowd semantics.
@@ -139,6 +141,7 @@ def greedy_match(
 
     iou_sorted = iou[order]                      # [N, G]
     valid_sorted = valid[order]                  # [N]
+    same_sorted = same_class[order]              # [N, G]
 
     if impl is None:
         # Default for the UNBATCHED entry point: the lax.scan. The speed
@@ -178,11 +181,17 @@ def greedy_match(
 
     def step(taken, inputs):
         # taken: [T, G] bool. One detection (in score order) per step.
-        iou_i, valid_i = inputs                  # [G], scalar
-        # Eligible GTs per threshold: real, unmatched, IoU >= t.
+        iou_i, valid_i, same_i = inputs          # [G], scalar, [G]
+        # Eligible GTs per threshold: real, unmatched, same class,
+        # IoU >= t. The class exclusion is EXPLICIT here (not only the
+        # zeroed-IoU fold the Pallas paths use) so the scan — the
+        # documented implementation for t <= 0 — cannot match a
+        # wrong-class GT through a masked 0.0 IoU at threshold 0,
+        # where the C++ oracle skips that GT outright (r5 review).
         elig = (
             (iou_i[None, :] >= thresholds[:, None])
             & real_gt[None, :]
+            & same_i[None, :]
             & ~taken
             & valid_i
         )                                        # [T, G]
@@ -198,7 +207,7 @@ def greedy_match(
     # help. 1.45ms per training step at N=1024 — and it runs ON DEVICE
     # inside the jitted step, vs the reference's per-step host round trip.
     _, (matched_sorted, best_sorted) = jax.lax.scan(
-        step, taken0, (iou_sorted, valid_sorted)
+        step, taken0, (iou_sorted, valid_sorted, same_sorted)
     )
     # matched_sorted: [N, T] bool; best_sorted: [N, T] int — in score order.
     # Scatter back to original detection order.
@@ -208,8 +217,18 @@ def greedy_match(
     ).T
 
     labels = matched.astype(jnp.float32)
-    # Ignore: padding always; unmatched detections covered by a crowd region.
-    crowd_ignore = (~matched) & (max_crowd[None, :] >= thresholds[:, None])
+    # Ignore: padding always; unmatched detections covered by a crowd
+    # region. The EXISTENCE form (any same-class crowd GT with IoF >= t)
+    # is equivalent to `max_crowd >= t` for t > 0 (folded entries are
+    # 0 < t) but stays correct at t <= 0, where the zero-folded max
+    # would ignore every unmatched detection even with no crowd GT at
+    # all (r5 review; the scan is the documented t <= 0 path).
+    crowd_hit = (
+        crowd_gt[None, None, :]
+        & same_class[None, :, :]
+        & (iof[None, :, :] >= thresholds[:, None, None])
+    )                                            # [T, N, G]
+    crowd_ignore = (~matched) & jnp.any(crowd_hit, axis=2)
     ignore = (~valid)[None, :] | crowd_ignore
     return MatchResult(labels=labels, ignore=ignore, matched_gt=matched_gt)
 

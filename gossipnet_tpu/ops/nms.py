@@ -105,10 +105,11 @@ def greedy_nms_host(
     tests/test_nms_sweep.py) — the swept-NMS baseline cannot depend on
     the host.
 
-    Precondition: scores must be FINITE. NaN scores would order
-    differently in the two sorts (np.argsort puts NaN last; the C++
-    ``scores[a] > scores[b]`` comparator leaves NaN in place), so the
-    host-independence guarantee only holds on its real domain —
+    Precondition: scores must be FINITE. The C++ comparator now sorts
+    NaN last like np.argsort (r5: a raw ``>`` with NaN is not a strict
+    weak ordering, which is UB for std::stable_sort), but +/-inf can
+    still interact with the -1e30 sentinel conventions, so the
+    host-independence guarantee is stated only on its real domain —
     detector scores — and this entry refuses anything else (ADVICE r4).
     """
     scores = np.asarray(scores)

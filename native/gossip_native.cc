@@ -21,6 +21,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <numeric>
@@ -64,9 +65,13 @@ inline double overlap(const T* det, const T* gt, bool crowd) {
 void match_perm(const double* ious, int n, int g, const int* perm,
                 const uint8_t* crowd, const uint8_t* ign,
                 const double* thresholds, int t, uint8_t* dt_matched,
-                uint8_t* dt_ignore) {
+                uint8_t* dt_ignore, std::vector<char>& gtm) {
+  // `gtm` is caller-provided scratch: eval_match_many calls this up to
+  // 4x per (image, class) segment across ~100k+ segments on several
+  // threads — a fresh heap allocation per call is pure allocator
+  // contention on the batched path.
   if (n == 0 || g == 0) return;
-  std::vector<char> gtm(size_t(t) * g, 0);
+  gtm.assign(size_t(t) * g, 0);
   for (int ti = 0; ti < t; ++ti) {
     const double floor = std::min(thresholds[ti], 1.0 - 1e-10);
     for (int d = 0; d < n; ++d) {
@@ -95,8 +100,8 @@ void match_perm(const double* ious, int n, int g, const int* perm,
 struct EvalScratch {
   std::vector<double> ious;
   std::vector<int> perm;
-  std::vector<uint8_t> ign, ign0, m_buf, i_buf;
-  std::vector<char> oor;
+  std::vector<uint8_t> ign, ign0, m_buf, i_buf, m1, i1;
+  std::vector<char> oor, gtm;
 };
 
 // One (image, class) segment of eval_match_many: every area range,
@@ -162,7 +167,7 @@ void eval_many_segment(
           if (sc.ign[j]) sc.perm[p++] = j;
         match_perm(sc.ious.data(), n, g, sc.perm.data(), gc,
                    sc.ign.data(), thresholds, t, sc.m_buf.data(),
-                   sc.i_buf.data());
+                   sc.i_buf.data(), sc.gtm);
         sc.ign0 = sc.ign;
       }
       for (int ti = 0; ti < t; ++ti) {
@@ -178,7 +183,6 @@ void eval_many_segment(
         g > 0 && std::memcmp(sc.ign.data(), sc.ign0.data(), g) == 0;
     const uint8_t* m_src;
     const uint8_t* i_src;
-    std::vector<uint8_t> m1, i1;
     if (g == 0) {
       // No gts: nothing matches; out-of-range dets are ignored.
       for (int ti = 0; ti < t; ++ti)
@@ -189,17 +193,18 @@ void eval_many_segment(
       m_src = sc.m_buf.data();
       i_src = sc.i_buf.data();
     } else {
-      m1.assign(size_t(t) * n, 0);
-      i1.assign(size_t(t) * n, 0);
+      sc.m1.assign(size_t(t) * n, 0);
+      sc.i1.assign(size_t(t) * n, 0);
       int p = 0;
       for (int j = 0; j < g; ++j)
         if (!sc.ign[j]) sc.perm[p++] = j;
       for (int j = 0; j < g; ++j)
         if (sc.ign[j]) sc.perm[p++] = j;
       match_perm(sc.ious.data(), n, g, sc.perm.data(), gc,
-                 sc.ign.data(), thresholds, t, m1.data(), i1.data());
-      m_src = m1.data();
-      i_src = i1.data();
+                 sc.ign.data(), thresholds, t, sc.m1.data(),
+                 sc.i1.data(), sc.gtm);
+      m_src = sc.m1.data();
+      i_src = sc.i1.data();
     }
     for (int ti = 0; ti < t; ++ti) {
       uint8_t* om = outm + size_t(ti) * n_cap_tot + off;
@@ -257,8 +262,9 @@ void eval_match(const double* det_boxes, int n, const double* gt_boxes,
   // GTs arrive pre-sorted non-ignored-first: identity permutation.
   std::vector<int> perm(std::max(g, 1));
   std::iota(perm.begin(), perm.end(), 0);
+  std::vector<char> gtm;
   match_perm(ious.data(), n, g, perm.data(), gt_crowd, gt_ignore,
-             thresholds, t, dt_matched, dt_ignore);
+             thresholds, t, dt_matched, dt_ignore, gtm);
 }
 
 // Whole-roidb batched COCO matching: every (image, class) segment x
@@ -348,6 +354,10 @@ void greedy_match(const float* det_boxes, const float* det_scores,
   std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
     const float sa = det_valid[a] ? det_scores[a] : -1e30f;
     const float sb = det_valid[b] ? det_scores[b] : -1e30f;
+    // NaN sorts LAST (like np.argsort(-scores)); a raw `>` with NaN
+    // is not a strict weak ordering and makes stable_sort UB.
+    const bool na = std::isnan(sa), nb = std::isnan(sb);
+    if (na || nb) return !na && nb;
     return sa > sb;
   });
   std::memset(labels, 0, sizeof(float) * size_t(t) * n);
@@ -368,7 +378,8 @@ void greedy_match(const float* det_boxes, const float* det_scores,
       for (int j = 0; j < g; ++j) {
         if (!gt_valid[j] || gt_crowd[j] || taken[size_t(ti) * g + j])
           continue;
-        if (det_classes && det_classes[d] != gt_classes[j]) continue;
+        if (det_classes && gt_classes &&
+            det_classes[d] != gt_classes[j]) continue;
         const double o = overlap(det_boxes + 4 * d, gt_boxes + 4 * j, false);
         if (o >= thr && o > best_iou) {
           best_iou = o;
@@ -382,7 +393,8 @@ void greedy_match(const float* det_boxes, const float* det_scores,
       } else {
         for (int j = 0; j < g; ++j) {
           if (!gt_valid[j] || !gt_crowd[j]) continue;
-          if (det_classes && det_classes[d] != gt_classes[j]) continue;
+          if (det_classes && gt_classes &&
+            det_classes[d] != gt_classes[j]) continue;
           if (overlap(det_boxes + 4 * d, gt_boxes + 4 * j, true) >= thr) {
             ignore[size_t(ti) * n + d] = 1;
             break;
@@ -414,8 +426,14 @@ void greedy_nms_multi(const double* boxes, const double* scores, int n,
   if (n == 0 || t == 0) return;
   std::vector<int> order(n);
   std::iota(order.begin(), order.end(), 0);
-  std::stable_sort(order.begin(), order.end(),
-                   [&](int a, int b) { return scores[a] > scores[b]; });
+  std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+    // NaN sorts LAST (np.argsort(-scores) semantics, keeping the
+    // numpy parity claim true for non-finite scores) and keeps the
+    // comparator a strict weak ordering (raw `>` with NaN is UB).
+    const bool na = std::isnan(scores[a]), nb = std::isnan(scores[b]);
+    if (na || nb) return !na && nb;
+    return scores[a] > scores[b];
+  });
   // Boxes and areas in sorted order (identical formula to the numpy
   // path: area = max(0, x2-x1) * max(0, y2-y1) in f64).
   std::vector<double> b(size_t(n) * 4), areas(n);

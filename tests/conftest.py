@@ -50,3 +50,23 @@ def random_boxes(rng, n, scale=100.0, min_size=2.0, max_size=40.0):
     xy = rng.uniform(0, scale, size=(n, 2))
     wh = rng.uniform(min_size, max_size, size=(n, 2))
     return np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def fresh_native_lib():
+    """Rebuild the native library if gossip_native.cc is newer than the
+    .so (r5 review): the ABI handshake only catches signature changes,
+    so without this a stale same-ABI build silently shadows edited
+    source and the whole parity/fuzz suite validates the old binary.
+    `make` is a ~50 ms no-op when the build is already fresh."""
+    import pathlib
+
+    native_dir = pathlib.Path(__file__).resolve().parents[1] / "native"
+    src = native_dir / "gossip_native.cc"
+    lib = native_dir / "libgossip_native.so"
+    if src.exists() and lib.exists() and \
+            src.stat().st_mtime > lib.stat().st_mtime:
+        from gossipnet_tpu import native
+
+        assert native.build(), "stale native lib and rebuild failed"
+        native._lib, native._load_failed = None, False

@@ -37,6 +37,49 @@ def test_greedy_match_parity_with_xla(rng):
         np.testing.assert_array_equal(matched_c, np.asarray(res.matched_gt))
 
 
+def test_greedy_match_parity_class_aware_at_zero_threshold(rng):
+    """The scan — the documented t <= 0 implementation — must agree
+    with the C++ oracle for class-aware matching at threshold 0: it
+    used to admit wrong-class GTs through masked 0.0 IoUs (0 >= 0) and
+    to crowd-ignore every unmatched det via the zero-folded max
+    (r5 review). Thresholds here bypass the config loader's t > 0
+    refusal on purpose — the functions are public API."""
+    for _ in range(4):
+        boxes, scores, valid, gt, gt_valid, gt_crowd = _random_problem(rng)
+        det_cls = rng.integers(0, 3, size=len(scores)).astype(np.int32)
+        gt_cls = rng.integers(0, 3, size=len(gt_valid)).astype(np.int32)
+        thrs = np.array([0.0, 0.3], np.float32)
+        labels_c, ignore_c, matched_c = native.greedy_match(
+            boxes, scores, valid, gt, gt_valid, gt_crowd, thrs,
+            det_classes=det_cls, gt_classes=gt_cls,
+        )
+        res = xla_greedy_match(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            jnp.asarray(gt), jnp.asarray(gt_valid), jnp.asarray(gt_crowd),
+            jnp.asarray(thrs), jnp.asarray(det_cls), jnp.asarray(gt_cls),
+            impl="scan",
+        )
+        np.testing.assert_array_equal(labels_c, np.asarray(res.labels))
+        np.testing.assert_array_equal(ignore_c, np.asarray(res.ignore))
+        np.testing.assert_array_equal(matched_c, np.asarray(res.matched_gt))
+
+
+def test_greedy_nms_multi_nan_scores_sort_last(rng):
+    """NaN scores: both paths order NaN last (np.argsort semantics);
+    the C++ comparator used to be UB with NaN (r5 review). Entry points
+    other than greedy_nms_host have no finite-score guard."""
+    from gossipnet_tpu.ops.nms import greedy_nms_multi_np
+
+    boxes = random_boxes(rng, 40, scale=80)
+    scores = rng.uniform(0, 1, 40)
+    scores[[3, 17, 29]] = np.nan
+    thrs = np.array([0.3, 0.5, 0.7])
+    keep_c = native.greedy_nms_multi(boxes, scores, thrs)
+    keep_np = greedy_nms_multi_np(boxes, scores, thrs)
+    for a, b in zip(keep_c, keep_np):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_nms_parity(rng):
     boxes = random_boxes(rng, 200, scale=150)
     scores = rng.uniform(0, 1, 200).astype(np.float32)
