@@ -339,7 +339,7 @@ def gen_pets(n_frames=800, seed=0, prefix="", score_corr=0.0):
         n_people = int(rng.integers(15, 56))
         placed = 0
         oid = 0
-        frame_gts = []   # (cat, xywh) for _max_iou_same_cat
+        frame_gts = []   # (cat, xywh) for _max_iou_same_cat_many
         pending = []     # (xywh bbox, raw noise) dets, frame order
         while placed < n_people:
             # occlusion row: 2-6 people shoulder-to-shoulder
@@ -391,8 +391,13 @@ def full_pets(train_steps=3000, lr=1e-3, schedule="cosine", tag="pets",
     CVML GT + MOT CSV dets via ``dataset: pets`` in both CLIs, val
     split on held-out frames, best-AP checkpointing, swept-NMS
     baseline — the crowd-benchmark analog of full(). alpha (score_corr)
-    prefixes the generated files so arms never collide."""
-    pre = f"a{int(round(alpha * 100)):02d}_" if alpha else ""
+    prefixes the generated files AND suffixes the tag/checkpoint dir
+    INTERNALLY, so no caller can train on alpha data while clobbering
+    the baseline arm's checkpoints (r5 review)."""
+    lab = _alpha_label(alpha)
+    pre = f"{lab}_" if lab else ""
+    if lab and not tag.endswith(lab):
+        tag = f"{tag}_{lab}"
     if not (DATA / f"{pre}pets_gt.xml").exists():
         gen_pets(prefix=pre, score_corr=alpha)
     if not (DATA / f"val_{pre}pets_gt.xml").exists():
@@ -455,11 +460,12 @@ def eval5k():
 def _parse_arm_args(argv, default_schedule):
     """Parse ``[steps] [lr] [schedule]`` with a literal ``mt`` flag and
     an ``alpha=X`` score-correlation knob accepted at ANY position ->
-    (steps, lr, schedule, mt, alpha). Extracting the flags before
-    positional binding means `dense 3000 1e-3 mt alpha=0.5` works in
-    any order instead of silently binding schedule='mt' (which used to
-    clobber the real mt arm's YAML and crash only after minutes of
-    dataset generation)."""
+    (steps, lr, schedule, mt, alpha, extra). Extracting the flags
+    before positional binding means `dense 3000 1e-3 mt alpha=0.5`
+    works in any order instead of silently binding schedule='mt'
+    (which used to clobber the real mt arm's YAML and crash only after
+    minutes of dataset generation). ``extra`` is any positionals
+    beyond the first three (the full/full80 arm reads its tag there)."""
     mt = "mt" in argv
     alpha = 0.0
     a = []
@@ -473,7 +479,27 @@ def _parse_arm_args(argv, default_schedule):
     return (int(a[0]) if a else 3000,
             float(a[1]) if len(a) > 1 else 1e-3,
             a[2] if len(a) > 2 else default_schedule,
-            mt, alpha)
+            mt, alpha, a[3:])
+
+
+def _alpha_label(alpha) -> str:
+    """Filename/tag-safe label for alpha: '' at 0, 'a80' when the
+    2-digit percent form is EXACT, else full precision ('a0p804') —
+    two distinct alphas can never silently share a dataset prefix,
+    tag, or checkpoint dir through rounding."""
+    if not alpha:
+        return ""
+    pct = alpha * 100
+    if abs(pct - round(pct)) < 1e-9 and 0 < round(pct) < 1000:
+        return f"a{int(round(pct)):02d}"
+    return "a" + repr(float(alpha)).replace(".", "p").replace("-", "m")
+
+
+def _with_alpha(density, alpha) -> dict:
+    d = dict(density or {})
+    if alpha:
+        d["score_corr"] = alpha
+    return d
 
 
 if __name__ == "__main__":
@@ -485,22 +511,27 @@ if __name__ == "__main__":
     if what in ("run", "all"):
         run()
     if what in ("full", "full80"):
-        # full[80] [steps] [lr] [schedule] [tag]
-        a = sys.argv[2:]
-        full(train_steps=int(a[0]) if a else 3000,
-             lr=float(a[1]) if len(a) > 1 else 1e-3,
-             schedule=a[2] if len(a) > 2 else "constant",
-             tag=a[3] if len(a) > 3 else
-             ("full80" if what == "full80" else "full"),
-             multiclass=what == "full80")
+        # full[80] [steps] [lr] [schedule] [tag] [mt] [alpha=X] — now
+        # through _parse_arm_args like every other arm: 'mt'/'alpha=X'
+        # tokens used to be silently swallowed as tag/lr/schedule and
+        # run a mislabeled baseline (r5 review).
+        steps, lr, schedule, mt, alpha, extra = _parse_arm_args(
+            sys.argv[2:], "constant")
+        lab = _alpha_label(alpha)
+        tag = ((extra[0] if extra else
+                ("full80" if what == "full80" else "full"))
+               + ("_mt" if mt else "") + (f"_{lab}" if lab else ""))
+        full(train_steps=steps, lr=lr, schedule=schedule, tag=tag,
+             multiclass=what == "full80", mt=mt,
+             prefix=f"{lab}_" if lab else "",
+             density=_with_alpha(None, alpha))
     if what == "pets":
-        # pets [steps] [lr] [schedule] [mt] [alpha=X]
-        steps, lr, schedule, mt, alpha = _parse_arm_args(sys.argv[2:],
-                                                         "cosine")
-        asuf = f"_a{int(round(alpha * 100)):02d}" if alpha else ""
+        # pets [steps] [lr] [schedule] [mt] [alpha=X] — full_pets
+        # appends the alpha label to the tag itself.
+        steps, lr, schedule, mt, alpha, _ = _parse_arm_args(
+            sys.argv[2:], "cosine")
         full_pets(train_steps=steps, lr=lr, schedule=schedule,
-                  tag=("pets_mt" if mt else "pets") + asuf, mt=mt,
-                  alpha=alpha)
+                  tag="pets_mt" if mt else "pets", mt=mt, alpha=alpha)
     if what in ("dense", "dense80"):
         # dense[80] [steps] [lr] [schedule] [mt] [alpha=X]:
         # reference-density arm (VERDICT r3 item 7) — 300-1024
@@ -509,33 +540,31 @@ if __name__ == "__main__":
         # tag AND dataset prefix carry alpha so arms never collide on
         # checkpoint dirs or generated files.
         mc = what == "dense80"
-        steps, lr, schedule, mt, alpha = _parse_arm_args(sys.argv[2:],
-                                                         "constant")
-        asuf = f"_a{int(round(alpha * 100)):02d}" if alpha else ""
+        steps, lr, schedule, mt, alpha, _ = _parse_arm_args(
+            sys.argv[2:], "constant")
+        lab = _alpha_label(alpha)
+        asuf = f"_{lab}" if lab else ""
         tag = ("dense80" if mc else "densep") + (
             "" if schedule == "constant" else f"_{schedule}") + (
             "_mt" if mt else "") + asuf
-        density = dict(DENSE if mc else DENSE_P)
-        if alpha:
-            density["score_corr"] = alpha
         full(train_steps=steps, lr=lr, schedule=schedule, tag=tag,
              multiclass=mc, mt=mt,
              prefix=("dense" if mc else "densep") + asuf + "_",
-             n_images=2000, density=density)
+             n_images=2000,
+             density=_with_alpha(DENSE if mc else DENSE_P, alpha))
     if what == "dense4k":
         # dense4k [steps] [lr] [schedule] [mt] [alpha=X]: config-4
         # TRAINING arm — N=4096-dominant bucketing at batch 2
         # (RESULTS.md). alpha must flow through like the dense arms —
         # discarding it here would silently run the alpha=0 baseline
         # under an alpha-labeled invocation.
-        steps, lr, schedule, mt, alpha = _parse_arm_args(sys.argv[2:],
-                                                         "cosine")
-        asuf = f"_a{int(round(alpha * 100)):02d}" if alpha else ""
+        steps, lr, schedule, mt, alpha, _ = _parse_arm_args(
+            sys.argv[2:], "cosine")
+        lab = _alpha_label(alpha)
+        asuf = f"_{lab}" if lab else ""
         tag = "dense4k" + ("" if schedule == "cosine" else f"_{schedule}"
                            ) + ("_mt" if mt else "") + asuf
-        density = dict(DENSE_4K)
-        if alpha:
-            density["score_corr"] = alpha
         full(train_steps=steps, lr=lr, schedule=schedule, tag=tag, mt=mt,
-             prefix="dense4k" + asuf + "_", n_images=600, density=density,
+             prefix="dense4k" + asuf + "_", n_images=600,
+             density=_with_alpha(DENSE_4K, alpha),
              batch_size=2, buckets="[1024, 2048, 4096]", max_dets=4096)
